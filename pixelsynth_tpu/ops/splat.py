@@ -1,0 +1,347 @@
+"""Differentiable soft z-buffer point splatter, TPU-native.
+
+Replaces the reference's PyTorch3D CUDA rasterizer + compositor
+(models/layers/z_buffer_layers.py:55-131: `rasterize_points` with radius
+r px, K=pp_pixel nearest-in-z points per pixel, alpha=(1-clamp(d/r^rad_pow,
+1e-3, 1)^.5)^tau, accumulation in {alphacomposite, wsum, wsumnorm}, plus the
+background mask of point-free pixels dilated by a 13x13 max filter).
+
+TPU design -- no scatter in the hot path, everything lands on the MXU:
+
+  1. **Bin** points to image tiles (default 16x16 px).  Each point's
+     radius-r footprint overlaps <= 4 tiles (2r <= tile); we emit 4
+     (tile, point) candidate entries, mask duplicates, and sort all entries
+     by a fused integer key ``tile_id * 2^16 + depth_bucket`` so every
+     tile's candidate list is contiguous **and z-sorted front-to-back**.
+     A fixed-capacity gather (max_points_per_tile) makes shapes static.
+  2. **Blend** per tile: the (pixels x candidates) alpha matrix comes from
+     a broadcasted squared-distance compute (VPU); the reference's
+     K-nearest-in-z cap is an inclusive cumsum over the z-sorted coverage
+     mask; alpha-compositing is an exclusive cumprod of (1-alpha) along the
+     z-sorted candidate axis (exact, not bucketed); the feature accumulation
+     is a single (P x M) @ (M x C) matmul (MXU).
+  3. Tiles are processed in groups under `lax.map` to bound live memory.
+
+Gradients flow to point xy (through alpha) and features (through the
+matmul) via XLA autodiff -- the same gradient surface as PyTorch3D's
+compositor backward.
+
+`splat_dense` is an O(pixels x points) reference implementation used to
+validate the binned kernel and for tiny problem sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pixelsynth_tpu.config import SplatConfig
+
+_DEPTH_BUCKETS = 1 << 16
+
+
+def _alpha_from_dist2(dist2_px: jnp.ndarray, W: int, cfg: SplatConfig) -> jnp.ndarray:
+    """alpha = (1 - clamp(d_ndc/r_ndc^rad_pow, 1e-3, 1)^0.5)^tau.
+
+    Distances are computed in pixel units; we rescale into PyTorch3D's NDC
+    (2/W per pixel) so the rad_pow != 2 absolute scale matches the reference
+    (z_buffer_layers.py:77,89-98).
+    """
+    s = 2.0 / W
+    radius_ndc = cfg.radius * s
+    dist2_ndc = dist2_px * (s * s)
+    d = dist2_ndc / (radius_ndc ** cfg.rad_pow)
+    d = jnp.clip(d, 1e-3, 1.0)
+    return (1.0 - jnp.sqrt(d)) ** cfg.tau
+
+
+def dilate_mask(mask: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """Binary dilation with a ksize x ksize window (z_buffer_layers.py:105-110).
+
+    mask: (B, H, W) bool/float; returns bool.
+    """
+    m = mask.astype(jnp.float32)
+    pad = ksize // 2
+    out = jax.lax.reduce_window(
+        m,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, ksize, ksize),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad)),
+    )
+    return out > 0
+
+
+def _bin_points(points: jnp.ndarray, valid: jnp.ndarray, W: int, cfg: SplatConfig):
+    """Sort point->tile candidate entries by (tile, depth) and build the
+    fixed-capacity per-tile slot table.
+
+    points: (N, 3) [col, row, depth]; valid: (N,) bool.
+    Returns (slot_point_idx (nT, M) int32, slot_valid (nT, M) bool).
+    """
+    N = points.shape[0]
+    TS = cfg.tile_size
+    nside = W // TS
+    nT = nside * nside
+    M = cfg.max_points_per_tile
+    r = cfg.radius
+
+    col, row, depth = points[:, 0], points[:, 1], points[:, 2]
+    on_screen = (
+        valid
+        & (col >= -r)
+        & (col <= W - 1 + r)
+        & (row >= -r)
+        & (row <= W - 1 + r)
+        & (depth > 0)
+    )
+
+    tx0 = jnp.floor((col - r) / TS).astype(jnp.int32)
+    tx1 = jnp.floor((col + r) / TS).astype(jnp.int32)
+    ty0 = jnp.floor((row - r) / TS).astype(jnp.int32)
+    ty1 = jnp.floor((row + r) / TS).astype(jnp.int32)
+
+    # 4 candidate tiles per point; mask duplicates and out-of-range tiles.
+    txs = jnp.stack([tx0, tx1, tx0, tx1], 0)  # (4, N)
+    tys = jnp.stack([ty0, ty0, ty1, ty1], 0)
+    dup = jnp.stack(
+        [
+            jnp.ones_like(on_screen),
+            tx1 != tx0,
+            ty1 != ty0,
+            (tx1 != tx0) & (ty1 != ty0),
+        ],
+        0,
+    )
+    in_rng = (txs >= 0) & (txs < nside) & (tys >= 0) & (tys < nside)
+    emask = dup & in_rng & on_screen[None, :]
+    tile_id = jnp.where(emask, tys * nside + txs, nT).astype(jnp.int32)
+
+    # 16-bit depth bucket over the on-screen depth range (front-to-back).
+    big = jnp.float32(3.0e38)
+    dmin = jnp.min(jnp.where(on_screen, depth, big))
+    dmax = jnp.max(jnp.where(on_screen, depth, -big))
+    scale = (_DEPTH_BUCKETS - 1) / jnp.maximum(dmax - dmin, 1e-6)
+    bucket = jnp.clip(((depth - dmin) * scale), 0, _DEPTH_BUCKETS - 1).astype(jnp.int32)
+
+    key = tile_id * _DEPTH_BUCKETS + bucket[None, :]
+    key = jnp.where(emask, key, jnp.int32(nT * _DEPTH_BUCKETS))
+    key = key.reshape(-1)
+    point_idx = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, :], (4, N)
+    ).reshape(-1)
+
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    sorted_point = point_idx[order]
+    sorted_tile = sorted_key // _DEPTH_BUCKETS
+
+    counts = jnp.bincount(
+        jnp.where(emask, tile_id, nT).reshape(-1), length=nT + 1
+    )[:nT]
+    offsets = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
+
+    slot = offsets[:, None] + jnp.arange(M, dtype=counts.dtype)[None, :]
+    slot_valid = jnp.arange(M)[None, :] < counts[:, None]
+    slot_c = jnp.clip(slot, 0, 4 * N - 1)
+    slot_point_idx = sorted_point[slot_c]
+    slot_valid = slot_valid & (sorted_tile[slot_c] == jnp.arange(nT)[:, None])
+    return slot_point_idx, slot_valid
+
+
+def _blend_tiles(
+    slot_pts: jnp.ndarray,
+    slot_feats: jnp.ndarray,
+    slot_valid: jnp.ndarray,
+    tile_origin: jnp.ndarray,
+    W: int,
+    cfg: SplatConfig,
+):
+    """Blend a group of tiles.
+
+    slot_pts: (T, M, 3); slot_feats: (T, M, C); slot_valid: (T, M);
+    tile_origin: (T, 2) [row0, col0].
+    Returns (out (T, TS, TS, C), covered (T, TS, TS)).
+    """
+    TS = cfg.tile_size
+    P = TS * TS
+    py = jax.lax.broadcasted_iota(jnp.float32, (TS, TS), 0).reshape(P)
+    px = jax.lax.broadcasted_iota(jnp.float32, (TS, TS), 1).reshape(P)
+
+    def one(pts, feats, vmask, origin):
+        rows = py + origin[0]
+        cols = px + origin[1]
+        dx = cols[:, None] - pts[None, :, 0]
+        dy = rows[:, None] - pts[None, :, 1]
+        dist2 = dx * dx + dy * dy  # (P, M), pixel units
+        cover = (dist2 < cfg.radius * cfg.radius) & vmask[None, :]
+        # K-nearest-in-z cap (candidates are z-sorted): pp_pixel semantics.
+        rank = jnp.cumsum(cover.astype(jnp.int32), axis=1)
+        keep = cover & (rank <= cfg.pp_pixel)
+        alpha = _alpha_from_dist2(dist2, W, cfg) * keep.astype(jnp.float32)
+
+        if cfg.accumulation == "alphacomposite":
+            trans = jnp.cumprod(1.0 - alpha, axis=1)
+            excl = jnp.concatenate(
+                [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1
+            )
+            w = alpha * excl
+        elif cfg.accumulation == "wsum":
+            w = alpha
+        elif cfg.accumulation == "wsumnorm":
+            w = alpha / jnp.maximum(jnp.sum(alpha, axis=1, keepdims=True), 1e-4)
+        else:
+            raise ValueError(f"unknown accumulation {cfg.accumulation}")
+
+        out = jnp.dot(w, feats, preferred_element_type=jnp.float32)
+        covered = jnp.any(cover, axis=1)
+        return out.reshape(TS, TS, -1), covered.reshape(TS, TS)
+
+    return jax.vmap(one)(slot_pts, slot_feats, slot_valid, tile_origin)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("W", "radius", "pp_pixel", "tau", "rad_pow",
+                              "accumulation", "bg_ksize", "tile_size",
+                              "max_points_per_tile", "tile_group")
+)
+def _splat_impl(
+    points, feats, valid, *, W, radius, pp_pixel, tau, rad_pow, accumulation,
+    bg_ksize, tile_size, max_points_per_tile, tile_group,
+):
+    cfg = SplatConfig(
+        radius=radius, pp_pixel=pp_pixel, tau=tau, rad_pow=rad_pow,
+        accumulation=accumulation,
+        background_smoothing_kernel_size=bg_ksize,
+        tile_size=tile_size, max_points_per_tile=max_points_per_tile,
+        tile_group=tile_group,
+    )
+    TS = cfg.tile_size
+    nside = W // TS
+    nT = nside * nside
+    C = feats.shape[-1]
+
+    t_row = (jnp.arange(nT, dtype=jnp.float32) // nside) * TS
+    t_col = (jnp.arange(nT, dtype=jnp.float32) % nside) * TS
+    origins = jnp.stack([t_row, t_col], axis=-1)  # (nT, 2)
+
+    def per_image(pts, fts, vld):
+        slot_idx, slot_valid = _bin_points(pts, vld, W, cfg)
+        G = cfg.tile_group
+        n_groups = (nT + G - 1) // G
+        pad_t = n_groups * G - nT
+        slot_idx_g = jnp.pad(slot_idx, ((0, pad_t), (0, 0))).reshape(n_groups, G, -1)
+        slot_valid_g = jnp.pad(slot_valid, ((0, pad_t), (0, 0))).reshape(
+            n_groups, G, -1
+        )
+        origins_g = jnp.pad(origins, ((0, pad_t), (0, 0))).reshape(n_groups, G, 2)
+
+        def group(args):
+            sidx, svalid, sorig = args
+            spts = pts[sidx]                      # (G, M, 3)
+            sfts = fts[sidx] * svalid[..., None]  # zero invalid slots
+            return _blend_tiles(spts, sfts, svalid, sorig, W, cfg)
+
+        out_g, cov_g = jax.lax.map(group, (slot_idx_g, slot_valid_g, origins_g))
+        out = out_g.reshape(n_groups * G, TS, TS, C)[:nT]
+        cov = cov_g.reshape(n_groups * G, TS, TS)[:nT]
+        img = out.reshape(nside, nside, TS, TS, C).transpose(0, 2, 1, 3, 4)
+        img = img.reshape(W, W, C)
+        covered = cov.reshape(nside, nside, TS, TS).transpose(0, 2, 1, 3)
+        covered = covered.reshape(W, W)
+        return img, covered
+
+    out, covered = jax.vmap(per_image)(points, feats, valid)
+    background = dilate_mask(~covered, cfg.background_smoothing_kernel_size)
+    return out, background
+
+
+def splat(
+    points: jnp.ndarray,
+    feats: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    *,
+    W: int,
+    cfg: SplatConfig | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Splat a point cloud into a WxW image.
+
+    Args:
+      points: (B, N, 3) as (col, row, depth) in pixel units (from
+        geometry.projection.project_points).
+      feats: (B, N, C) per-point features.
+      valid: optional (B, N) bool.
+    Returns:
+      (image (B, W, W, C) float32, background_mask (B, W, W) bool) --
+      background pixels have no point within cfg.radius, dilated by the
+      background-smoothing max filter (z_buffer_layers.py:101-110).
+    """
+    cfg = cfg or SplatConfig()
+    if valid is None:
+        valid = jnp.ones(points.shape[:2], bool)
+    if cfg.use_pallas:
+        from pixelsynth_tpu.ops.splat_pallas import splat_pallas
+
+        return splat_pallas(points, feats, valid, W=W, cfg=cfg)
+    return _splat_impl(
+        points, feats, valid,
+        W=W, radius=cfg.radius, pp_pixel=cfg.pp_pixel, tau=cfg.tau,
+        rad_pow=cfg.rad_pow, accumulation=cfg.accumulation,
+        bg_ksize=cfg.background_smoothing_kernel_size,
+        tile_size=cfg.tile_size,
+        max_points_per_tile=cfg.max_points_per_tile,
+        tile_group=cfg.tile_group,
+    )
+
+
+def splat_dense(
+    points: jnp.ndarray,
+    feats: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    *,
+    W: int,
+    cfg: SplatConfig | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """O(W^2 x N) dense reference splatter (for tests / tiny inputs).
+
+    Semantically identical to `splat`: z-sorts all points, computes the full
+    (pixels x points) alpha matrix, K-caps, and composites.
+    """
+    cfg = cfg or SplatConfig()
+    if valid is None:
+        valid = jnp.ones(points.shape[:2], bool)
+
+    def per_image(pts, fts, vld):
+        order = jnp.argsort(pts[:, 2], stable=True)
+        pts, fts, vld = pts[order], fts[order], vld[order]
+        py = jax.lax.broadcasted_iota(jnp.float32, (W, W), 0).reshape(-1)
+        px = jax.lax.broadcasted_iota(jnp.float32, (W, W), 1).reshape(-1)
+        dx = px[:, None] - pts[None, :, 0]
+        dy = py[:, None] - pts[None, :, 1]
+        dist2 = dx * dx + dy * dy
+        vld = vld & (pts[:, 2] > 0)
+        cover = (dist2 < cfg.radius * cfg.radius) & vld[None, :]
+        rank = jnp.cumsum(cover.astype(jnp.int32), axis=1)
+        keep = cover & (rank <= cfg.pp_pixel)
+        alpha = _alpha_from_dist2(dist2, W, cfg) * keep.astype(jnp.float32)
+        if cfg.accumulation == "alphacomposite":
+            trans = jnp.cumprod(1.0 - alpha, axis=1)
+            excl = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], 1)
+            w = alpha * excl
+        elif cfg.accumulation == "wsum":
+            w = alpha
+        elif cfg.accumulation == "wsumnorm":
+            w = alpha / jnp.maximum(jnp.sum(alpha, axis=1, keepdims=True), 1e-4)
+        else:
+            raise ValueError(cfg.accumulation)
+        out = w @ fts
+        covered = jnp.any(cover, axis=1)
+        return out.reshape(W, W, -1), covered.reshape(W, W)
+
+    out, covered = jax.vmap(per_image)(points, feats, valid)
+    background = dilate_mask(~covered, cfg.background_smoothing_kernel_size)
+    return out, background

@@ -1,0 +1,137 @@
+"""Splatter tests: binned kernel vs dense reference, occlusion, K-cap,
+background mask, and gradient parity (the reference has no tests for its
+CUDA rasterizer; SURVEY.md section 4 calls for exactly these)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixelsynth_tpu.config import SplatConfig
+from pixelsynth_tpu.ops import splat, splat_dense, dilate_mask
+
+
+def make_cfg(**kw):
+    base = dict(
+        radius=4.0, pp_pixel=128, tau=1.0, rad_pow=2,
+        accumulation="alphacomposite", background_smoothing_kernel_size=13,
+        tile_size=16, max_points_per_tile=256, tile_group=8,
+    )
+    base.update(kw)
+    return SplatConfig(**base)
+
+
+def random_points(rng, B, N, W, C):
+    pts = np.stack(
+        [
+            rng.uniform(-2, W + 1, (B, N)),       # col (some off-screen)
+            rng.uniform(-2, W + 1, (B, N)),       # row
+            rng.uniform(0.5, 10.0, (B, N)),       # depth
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    feats = rng.standard_normal((B, N, C)).astype(np.float32)
+    return jnp.asarray(pts), jnp.asarray(feats)
+
+
+@pytest.mark.parametrize("accumulation", ["alphacomposite", "wsum", "wsumnorm"])
+def test_binned_matches_dense(accumulation):
+    rng = np.random.default_rng(0)
+    W, B, N, C = 32, 2, 500, 3
+    cfg = make_cfg(accumulation=accumulation)
+    pts, feats = random_points(rng, B, N, W, C)
+    out_b, bg_b = splat(pts, feats, W=W, cfg=cfg)
+    out_d, bg_d = splat_dense(pts, feats, W=W, cfg=cfg)
+    np.testing.assert_allclose(out_b, out_d, atol=2e-4, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(bg_b), np.asarray(bg_d))
+
+
+def test_occlusion_alphacomposite():
+    # a near point in front of a far point at the same pixel: the near point
+    # dominates the alpha-composited output
+    W = 32
+    cfg = make_cfg()
+    pts = jnp.array([[[16.0, 16.0, 1.0], [16.0, 16.0, 5.0]]])
+    feats = jnp.array([[[1.0], [-1.0]]])
+    out, _ = splat(pts, feats, W=W, cfg=cfg)
+    assert float(out[0, 16, 16, 0]) > 0.8
+
+
+def test_k_cap():
+    # with pp_pixel=1 only the nearest point contributes even under wsum
+    W = 32
+    cfg = make_cfg(accumulation="wsum", pp_pixel=1)
+    pts = jnp.array([[[16.0, 16.0, 5.0], [16.0, 16.0, 1.0]]])
+    feats = jnp.array([[[1.0], [1.0]]])
+    out, _ = splat(pts, feats, W=W, cfg=cfg)
+    cfg_all = make_cfg(accumulation="wsum", pp_pixel=2)
+    out_all, _ = splat(pts, feats, W=W, cfg=cfg_all)
+    assert float(out_all[0, 16, 16, 0]) > float(out[0, 16, 16, 0]) + 0.5
+
+
+def test_background_mask():
+    W = 32
+    cfg = make_cfg(background_smoothing_kernel_size=1)
+    pts = jnp.array([[[8.0, 8.0, 1.0]]])
+    feats = jnp.ones((1, 1, 1))
+    out, bg = splat(pts, feats, W=W, cfg=cfg)
+    bg = np.asarray(bg[0])
+    assert not bg[8, 8]
+    assert bg[31, 31]
+    # dilation grows the background into the point's neighborhood
+    cfg13 = make_cfg(background_smoothing_kernel_size=13)
+    _, bg13 = splat(pts, feats, W=W, cfg=cfg13)
+    assert bool(np.asarray(bg13)[0, 8, 8])  # point region swallowed by dilation
+
+
+def test_point_behind_camera_ignored():
+    W = 32
+    cfg = make_cfg(background_smoothing_kernel_size=1)
+    pts = jnp.array([[[16.0, 16.0, -2.0]]])
+    feats = jnp.ones((1, 1, 1))
+    out, bg = splat(pts, feats, W=W, cfg=cfg)
+    assert float(jnp.abs(out).max()) == 0.0
+    assert bool(np.asarray(bg)[0, 16, 16])
+
+
+def test_gradients_match_dense():
+    rng = np.random.default_rng(1)
+    W, B, N, C = 32, 1, 64, 2
+    cfg = make_cfg()
+    pts, feats = random_points(rng, B, N, W, C)
+
+    def loss_binned(p, f):
+        out, _ = splat(p, f, W=W, cfg=cfg)
+        return jnp.sum(out ** 2)
+
+    def loss_dense(p, f):
+        out, _ = splat_dense(p, f, W=W, cfg=cfg)
+        return jnp.sum(out ** 2)
+
+    gb = jax.grad(loss_binned, argnums=(0, 1))(pts, feats)
+    gd = jax.grad(loss_dense, argnums=(0, 1))(pts, feats)
+    # xy gradients (depth gradient is zero in both: selection is nondiff)
+    np.testing.assert_allclose(gb[0][..., :2], gd[0][..., :2], atol=1e-3, rtol=1e-2)
+    np.testing.assert_allclose(gb[1], gd[1], atol=1e-3, rtol=1e-2)
+    assert np.isfinite(np.asarray(gb[0])).all()
+    assert float(jnp.abs(gb[1]).max()) > 0
+
+
+def test_overflow_capacity_drops_far_points_only():
+    # capacity exceeded: the closest points are kept (z-sorted gather)
+    W = 32
+    cfg = make_cfg(accumulation="wsum", max_points_per_tile=4, tile_size=16,
+                   background_smoothing_kernel_size=1)
+    N = 16
+    pts = np.tile(np.array([[8.0, 8.0, 0.0]]), (N, 1)).astype(np.float32)
+    pts[:, 2] = np.arange(1, N + 1)
+    feats = np.ones((1, N, 1), np.float32)
+    out, _ = splat(jnp.asarray(pts[None]), jnp.asarray(feats), W=W, cfg=cfg)
+    # only 4 nearest survive; wsum of 4 alphas (~0.968 each)
+    assert 3.0 < float(out[0, 8, 8, 0]) < 4.0
+
+
+def test_dilate_mask():
+    m = jnp.zeros((1, 9, 9), bool).at[0, 4, 4].set(True)
+    d = dilate_mask(m, 3)
+    assert bool(d[0, 3, 3]) and bool(d[0, 5, 5]) and not bool(d[0, 2, 2])

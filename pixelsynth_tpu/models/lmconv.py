@@ -1,0 +1,175 @@
+"""Locally-masked PixelCNN (lmconv) in Flax, NHWC.
+
+Mirrors the reference OurPixelCNN (models/lmconv/model.py:61-155) with the
+PixelSynth instantiation (models/z_buffermodel.py:62-74): nr_resnet=2,
+nr_filters=80, kernel 3x3, max_dilation=2, PONO feature norm, no dropout,
+512-way logits.  Every convolution is a locally masked conv taking the
+per-image mask triple (A-mask for the first layer, B-mask undilated for
+resnet streams, B-mask dilated for the dilation streams) in the compact
+(B, k*k, H*W) layout -- never channel-repeated (the reference repeats masks
+513/160/80x on the host for DataParallel, z_buffermodel.py:697-699).
+
+The up pass appends activations to a skip list consumed in reverse by the
+down pass (gated resnets with nin skip fusion, lmconv/layers.py:136-163).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pixelsynth_tpu.models.layers import Nin, concat_elu, order_rescale, pono
+from pixelsynth_tpu.ops.masked_conv import locally_masked_conv2d
+
+
+class LMConv(nn.Module):
+    """One locally masked conv layer; weight (k*k, Cin, Cout)."""
+
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    use_bias: bool = True
+    mask_weight: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        k2 = self.kernel * self.kernel
+        cin = x.shape[-1]
+        # kaiming-uniform fan_in, matching the reference reset_parameters
+        # (locally_masked_convolution.py:128-136)
+        weight = self.param(
+            "weight",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (k2, cin, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias else None
+        )
+        mw = (
+            self.param(
+                "mask_weight",
+                nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+                (k2, self.features),
+            )
+            if self.mask_weight else None
+        )
+        return locally_masked_conv2d(x, mask, weight, bias, mw, dilation=self.dilation)
+
+
+class FeatureNorm(nn.Module):
+    """pono | order_rescale | none (lmconv/layers.py:223-243)."""
+
+    kind: str = "pono"
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        if self.kind == "pono":
+            return pono(x)
+        if self.kind == "order_rescale":
+            return order_rescale(x, mask)
+        return x
+
+
+class GatedResnet(nn.Module):
+    """gated_resnet (lmconv/layers.py:136-163); optional nin-fused skip."""
+
+    nr_filters: int
+    kernel: int = 3
+    feature_norm: str = "pono"
+    dropout_prob: float = 0.0
+    conv_bias: bool = True
+    conv_mask_weight: bool = False
+
+    @nn.compact
+    def __call__(self, og_x, a=None, *, mask, train: bool = True):
+        F = self.nr_filters
+        x = LMConv(F, self.kernel, 1, self.conv_bias, self.conv_mask_weight)(
+            concat_elu(og_x), mask
+        )
+        x = FeatureNorm(self.feature_norm)(x, mask)
+        if a is not None:
+            x = x + Nin(F)(concat_elu(a))
+        x = concat_elu(x)
+        if self.dropout_prob > 0:
+            x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
+        x = LMConv(2 * F, self.kernel, 1, self.conv_bias, self.conv_mask_weight)(x, mask)
+        a_out, b_out = jnp.split(x, 2, axis=-1)
+        a_out = FeatureNorm(self.feature_norm)(a_out, mask)
+        return og_x + a_out * nn.sigmoid(b_out)
+
+
+class LMPixelCNN(nn.Module):
+    """OurPixelCNN (lmconv/model.py:61-155) -- 512-way code-grid prior."""
+
+    nr_resnet: int = 2
+    nr_filters: int = 80
+    input_channels: int = 512
+    kernel_size: int = 3
+    max_dilation: int = 2
+    feature_norm: str = "pono"
+    dropout_prob: float = 0.0
+    conv_bias: bool = True
+    conv_mask_weight: bool = False
+    num_classes: int = 512
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask_init: jnp.ndarray,
+        mask_undilated: jnp.ndarray,
+        mask_dilated: jnp.ndarray,
+        *,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        """x: (B, H, W, input_channels) one-hot codes; masks: (B, k^2, H*W).
+
+        Returns logits (B, H, W, num_classes).
+        """
+        F = self.nr_filters
+        k = self.kernel_size
+
+        def conv(feats, dilation=1):
+            return LMConv(feats, k, dilation, self.conv_bias, self.conv_mask_weight)
+
+        def gated(u, a=None):
+            return GatedResnet(
+                F, k, self.feature_norm, self.dropout_prob,
+                self.conv_bias, self.conv_mask_weight,
+            )(u, a, mask=mask_undilated, train=train)
+
+        norm = FeatureNorm(self.feature_norm)
+
+        # pad channel of ones (model.py:118-129)
+        ones = jnp.ones(x.shape[:-1] + (1,), x.dtype)
+        h = jnp.concatenate([x, ones], axis=-1)
+
+        ### UP PASS (model.py:131-141)
+        # mask_undilated goes to the norm so the center tap keeps
+        # OrderRescale's denominator >= 1 (model.py:132-134)
+        u_list: List[jnp.ndarray] = [norm(conv(F)(h, mask_init), mask_undilated)]
+        for _ in range(2):
+            for _ in range(self.nr_resnet):
+                u_list.append(gated(u_list[-1]))
+            d = conv(F, self.max_dilation)(u_list[-1], mask_dilated)
+            u_list.append(norm(d, mask_dilated))
+        for _ in range(self.nr_resnet):
+            u_list.append(gated(u_list[-1]))
+
+        ### DOWN PASS (model.py:143-151)
+        down_nr = [self.nr_resnet, self.nr_resnet + 1, self.nr_resnet + 1]
+        u = u_list.pop()
+        for i in range(2):
+            for _ in range(down_nr[i]):
+                u = gated(u, u_list.pop())
+            u = conv(F, self.max_dilation)(u, mask_dilated)
+            u = norm(u, mask_dilated)
+        for _ in range(down_nr[2]):
+            u = gated(u, u_list.pop())
+        assert not u_list, f"skip list imbalance: {len(u_list)} left"
+
+        return Nin(self.num_classes)(jax.nn.elu(u))

@@ -49,16 +49,23 @@ def distance_to_zero(mask: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(per_image)(inside).reshape(B, H, W)
 
 
-def signed_distance_field(foreground: jnp.ndarray) -> jnp.ndarray:
+def signed_distance_field(
+    foreground: jnp.ndarray, background: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """int32 (fg-dist - bg-dist) field (models/z_buffermodel.py:666-675).
 
     foreground: (B, H, W), nonzero where content exists.  Positive inside
     the foreground (distance to nearest background pixel), negative in the
     background (minus distance to nearest foreground pixel); truncated
     toward zero like the reference's .astype(int).
+
+    background defaults to ~foreground, but the reference's downsampled
+    masks are binarized *independently* (avg-pooled floats truncated via
+    astype(uint8), z_buffermodel.py:668-669), so mixed cells can be zero in
+    both -- pass both masks to reproduce that exactly.
     """
     fg = (foreground != 0).astype(jnp.float32)
-    bg = 1.0 - fg
+    bg = 1.0 - fg if background is None else (background != 0).astype(jnp.float32)
     fd = distance_to_zero(fg)
     bd = distance_to_zero(bg)
     return jnp.trunc(fd - bd).astype(jnp.int32)

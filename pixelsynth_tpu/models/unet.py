@@ -1,10 +1,14 @@
 """Depth-regression U-Net (NHWC).
 
 Mirrors the reference Unet (models/networks/architectures.py:174-279):
-8 stride-2 4x4 down convs / 8 up stages (bilinear 2x + 3x3 conv) with
-skip concatenation, BatchNorm between stages, LeakyReLU(0.2) on the way
-down, ReLU on the way up, raw (un-squashed) output.  norm_G "spectral"
-variants wrap every conv in spectral norm.
+stride-2 4x4 down convs to 1x1, then bilinear-2x + 3x3 conv up stages with
+skip concatenation, BatchNorm between stages, LeakyReLU(0.2) down, ReLU up,
+raw (un-squashed) output.  norm_G "spectral" variants wrap every conv in
+spectral norm.
+
+`levels` generalizes the reference's fixed 8-level 256x256 geometry to any
+power-of-two input (levels = log2(W)); levels=8 reproduces the reference
+exactly (channel ladder nf, 2nf, 4nf, 8nf, 8nf, ...).
 """
 
 from __future__ import annotations
@@ -21,10 +25,14 @@ class UNet(nn.Module):
     num_filters: int = 32
     channels_out: int = 1
     spectral: bool = True
+    levels: int = 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
         nf = self.num_filters
+        L = self.levels
+        mults = [1, 2, 4] + [8] * (L - 3)
+        chans = [nf * m for m in mults[:L]]
 
         def down(h, feats, norm=True):
             h = SNConv(feats, 4, 2, 1, spectral=self.spectral)(h, train=train)
@@ -42,23 +50,19 @@ class UNet(nn.Module):
 
         lrelu = lambda h: nn.leaky_relu(h, 0.2)
 
-        e1 = SNConv(nf, 4, 2, 1, spectral=self.spectral)(x, train=train)
-        e2 = down(lrelu(e1), nf * 2)
-        e3 = down(lrelu(e2), nf * 4)
-        e4 = down(lrelu(e3), nf * 8)
-        e5 = down(lrelu(e4), nf * 8)
-        e6 = down(lrelu(e5), nf * 8)
-        e7 = down(lrelu(e6), nf * 8)
-        e8 = down(lrelu(e7), nf * 8, norm=False)
+        encs = []
+        h = SNConv(chans[0], 4, 2, 1, spectral=self.spectral)(x, train=train)
+        encs.append(h)
+        for i in range(1, L):
+            h = down(lrelu(encs[-1]), chans[i], norm=(i != L - 1))
+            encs.append(h)
 
-        d1 = jnp.concatenate([up(e8, nf * 8), e7], -1)
-        d2 = jnp.concatenate([up(d1, nf * 8), e6], -1)
-        d3 = jnp.concatenate([up(d2, nf * 8), e5], -1)
-        d4 = jnp.concatenate([up(d3, nf * 8), e4], -1)
-        d5 = jnp.concatenate([up(d4, nf * 4), e3], -1)
-        d6 = jnp.concatenate([up(d5, nf * 2), e2], -1)
-        d7 = jnp.concatenate([up(d6, nf), e1], -1)
-        d8 = SNConv(self.channels_out, 3, 1, 1, spectral=self.spectral)(
-            upsample2x(nn.relu(d7)), train=train
+        # decoder: mirror channel ladder; skip-concat all but the last stage
+        h = encs[-1]
+        for i in range(L - 1, 0, -1):
+            h = up(h, chans[i - 1] if i <= 3 else chans[i])
+            h = jnp.concatenate([h, encs[i - 1]], axis=-1)
+        h = SNConv(self.channels_out, 3, 1, 1, spectral=self.spectral)(
+            upsample2x(nn.relu(h)), train=train
         )
-        return d8
+        return h

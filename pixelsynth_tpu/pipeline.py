@@ -42,6 +42,7 @@ from pixelsynth_tpu.models.unet import UNet
 from pixelsynth_tpu.models.vqvae import VQVAETop
 from pixelsynth_tpu.ops.distance_transform import signed_distance_field
 from pixelsynth_tpu.ops.orders import custom_order, masks_for_orders_batch
+from pixelsynth_tpu.ops.orders_jax import orders_and_masks_jax
 from pixelsynth_tpu.ops.splat import splat
 
 
@@ -174,8 +175,10 @@ class PixelSynth:
         mc = cfg.model
         spectral = "spectral" in mc.norm_G
         self.spectral = spectral
+        levels = int(round(np.log2(mc.W)))
+        assert 2 ** levels == mc.W, "W must be a power of two"
         self.unet = UNet(num_filters=mc.unet_num_filters, channels_out=1,
-                         spectral=spectral)
+                         spectral=spectral, levels=levels)
         self.encoder = (
             None if mc.use_rgb_features
             else ResNetEncoder(mc.refine_model_type, mc.ngf, spectral)
@@ -312,16 +315,24 @@ class PixelSynth:
         )
         return gen_fs, bg, new_state
 
-    def masks_for_background(self, bg_mask):
-        """Full get_masks_for_batch (z_buffermodel.py:641-701) on device +
-        one host callback for the sequential order.
+    def masks_for_background(self, bg_mask, *, host: bool = False):
+        """Full get_masks_for_batch (z_buffermodel.py:641-701), entirely on
+        device: exact distance transform, greedy generation order as a
+        masked-argmax loop (ops/orders_jax.py), and shift-comparison kernel
+        masks.  `host=True` routes the order through the C++ host library
+        instead (pure_callback; useful off-mesh).
 
         Returns (order (B,1024,2), masks (B,3,k^2,1024), bg_ds (B,32,32))."""
         fg_ds = downsample_mask(~bg_mask)
         bg_ds = downsample_mask(bg_mask)
         distances = signed_distance_field(binarize_trunc(fg_ds), binarize_trunc(bg_ds))
         l = self.cfg.model.lmconv
-        order, masks = orders_and_masks(distances, l.kernel_size, l.max_dilation)
+        if host:
+            order, masks = orders_and_masks(distances, l.kernel_size, l.max_dilation)
+        else:
+            order, masks = orders_and_masks_jax(
+                distances, l.kernel_size, l.max_dilation
+            )
         return order, masks, bg_ds
 
     def vq_encode(self, vq_vars, img):

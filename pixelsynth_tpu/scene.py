@@ -1,0 +1,223 @@
+"""Scene generation: the cumulative multi-view walk with batched sampling.
+
+Re-designs the reference's forward_scene (models/z_buffermodel.py:421-592)
++ get_best_sample (244-276): per direction, render the full-rotation view
+first, then sweep back toward the input, carrying the growing point cloud;
+at every view, ALL num_samples outpainting candidates advance together in
+one jitted population (the reference loops candidates in Python, each with
+its own <=1024-step sequential pixel loop -- SURVEY.md's north-star
+bottleneck).
+
+One compiled `view_step` serves every view of every direction: the camera
+matrices, carried cloud, and population RNG are data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixelsynth_tpu.geometry.cameras import invert_RT
+from pixelsynth_tpu.geometry.paths import get_rt_from_rot, num_split_for_direction
+from pixelsynth_tpu.models.classifier import ResNet18, preprocess_for_classifier
+from pixelsynth_tpu.pipeline import CloudState, PixelSynth
+from pixelsynth_tpu.sampling import (
+    ar_sample,
+    classifier_entropy,
+    d_fake_score,
+    rank_candidates,
+)
+
+
+def _tile(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    return jnp.repeat(x, s, axis=0)
+
+
+class SceneGenerator:
+    """Drives gen_scene / gen_two_imgs with a single jitted view step."""
+
+    def __init__(
+        self,
+        ps: PixelSynth,
+        variables: Dict,
+        *,
+        num_samples: Optional[int] = None,
+        temperature: Optional[float] = None,
+        cloud_capacity: int = 4 * 65536,
+        classifier_vars: Optional[Dict] = None,
+    ):
+        self.ps = ps
+        self.variables = variables
+        sc = ps.cfg.sample
+        self.num_samples = num_samples if num_samples is not None else sc.num_samples
+        self.temperature = temperature if temperature is not None else sc.temperature
+        self.cloud_capacity = cloud_capacity
+        self.classifier = ResNet18()
+        self.classifier_vars = classifier_vars
+        self._view_step = jax.jit(self._view_step_impl)
+
+    # -- jitted single-view step ------------------------------------------
+
+    def _view_step_impl(self, variables, classifier_vars, img, cams,
+                        cloud: CloudState, last_bg, RTinv_last, rng):
+        ps = self.ps
+        S = self.num_samples
+        depth, _ = ps.regress_depth(variables["unet"], img)
+        fs, _ = ps.features(variables, img)
+        gen_fs, bg, new_cloud = ps.splat_cumulative(
+            fs, depth, cams, cloud, last_bg, RTinv_last
+        )
+        order, masks, bg_ds = ps.masks_for_background(bg)
+        codes, _ = ps.vq_encode(variables["vqvae"], gen_fs)
+
+        # ---- population sampling: all S candidates at once ----
+        nc = ps.cfg.model.lmconv.num_classes
+        codes_s = _tile(codes, S)
+        masks_s = _tile(masks, S)
+        order_s = _tile(order, S)
+        bg_ds_s = _tile(bg_ds, S)
+
+        def logits_fn(onehot):
+            return ps.pixelcnn_logits(variables["pixelcnn"], onehot, masks_s)
+
+        sampled = ar_sample(
+            logits_fn, codes_s, order_s, bg_ds_s, rng,
+            num_classes=nc, temperature=self.temperature,
+        )
+        decoded = ps.vq_decode(variables["vqvae"], sampled)
+        combined = ps.combine(_tile(gen_fs, S), decoded, _tile(bg, S))
+        noise_rng = jax.random.fold_in(rng, 1)
+        gen_imgs, _ = ps.decode_image(
+            variables["projector"], combined, _tile(bg, S),
+            rngs={"noise": noise_rng},
+        )
+
+        # ---- candidate scoring (z_buffermodel.py:244-276) ----
+        def disc_apply(x, train=False):
+            return ps.disc.apply(variables["disc"], x, train=False)
+
+        d_scores = d_fake_score(disc_apply, gen_imgs, img)
+        if classifier_vars is not None:
+            logits = self.classifier.apply(
+                classifier_vars, preprocess_for_classifier(gen_imgs * 0.5 + 0.5)
+            )
+            entropy = classifier_entropy(logits)
+        else:
+            entropy = jnp.zeros((gen_imgs.shape[0],))
+
+        return {
+            "gen_imgs": gen_imgs,
+            "d_scores": d_scores,
+            "entropy": entropy,
+            "bg": bg,
+            "depth": depth,
+            "gen_fs": gen_fs,
+            "cloud": new_cloud,
+        }
+
+    # -- host-side walk ----------------------------------------------------
+
+    def generate_view(self, img, cams, cloud, last_bg, RTinv_last, rng):
+        out = self._view_step(
+            self.variables, self.classifier_vars, img, cams, cloud,
+            last_bg, RTinv_last, rng,
+        )
+        best = rank_candidates(
+            np.asarray(out["d_scores"]), np.asarray(out["entropy"])
+        )
+        best_img = out["gen_imgs"][best: best + 1]
+        return best_img, out
+
+    def generate_scene(
+        self,
+        img: jnp.ndarray,
+        K: jnp.ndarray,
+        Kinv: jnp.ndarray,
+        P_in: jnp.ndarray,
+        Pinv_in: jnp.ndarray,
+        *,
+        directions: Optional[List[str]] = None,
+        num_split: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+        two_imgs: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Full scene walk (z_buffermodel.py:421-592, non-sequential mode).
+
+        Returns {"PredImg_<dir>_<i>": (1,W,W,3) in [-1,1], ...} plus
+        depth/foreground entries for the full-rotation view of each
+        direction, keyed exactly like the reference's outputs dict.
+        """
+        ps = self.ps
+        sc = ps.cfg.sample
+        directions = list(directions or sc.directions)
+        base_split = num_split if num_split is not None else sc.num_split
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        B = img.shape[0]
+        feat_dim = img.shape[-1]
+        cloud = CloudState.empty(B, self.cloud_capacity, feat_dim)
+        I = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+
+        current_img = img
+        last_bg = jnp.zeros((B, ps.W, ps.W), bool)  # nothing carried yet
+        RTinv_last = Pinv_in
+        last_numerator = None
+        last_direction = None
+        outputs: Dict[str, np.ndarray] = {"InputImg": np.asarray(img)}
+        first_view = True
+
+        for direction in directions:
+            n_split = num_split_for_direction(direction, base_split, two_imgs)
+
+            # view order: full rotation first, then sweep back (z_buffermodel.py:478,529)
+            numerators = [n_split] + list(reversed(range(n_split)))
+            for numerator in numerators:
+                if last_numerator is None:
+                    cin_inv, cin = Pinv_in, P_in
+                else:
+                    cin_inv, cin = get_rt_from_rot(
+                        last_direction, P_in, last_numerator, n_split
+                    )
+                cout_inv, cout = get_rt_from_rot(direction, P_in, numerator, n_split)
+                cams = {"K": K, "Kinv": Kinv, "P_in": cin, "Pinv_in": cin_inv,
+                        "P_out": cout}
+                rng, sub = jax.random.split(rng)
+                best_img, out = self.generate_view(
+                    current_img, cams,
+                    cloud, None if first_view else last_bg, RTinv_last, sub,
+                )
+                key = f"PredImg_{direction}_{numerator}"
+                outputs[key] = np.asarray(best_img)
+                if numerator == n_split:
+                    outputs[f"PredDepthImg_{direction}_{numerator}"] = np.asarray(
+                        out["depth"]
+                    )
+                    outputs[f"ForegroundImg_{direction}_{numerator}"] = np.asarray(
+                        (~out["bg"]).astype(np.float32)
+                    )
+                current_img = best_img
+                cloud = out["cloud"]
+                last_bg = out["bg"]
+                RTinv_last = cout_inv
+                last_numerator = numerator
+                last_direction = direction
+                first_view = False
+
+        return outputs
+
+
+def video_frame_order(num_split: int) -> List[Tuple[str, int]]:
+    """Frame sequence of the demo video (demo.py:128-164):
+    R 0, then for each of R L C C S S: ascending 1..n-1, and for
+    non-path directions also descending n-1..0."""
+    frames: List[Tuple[str, int]] = [("R", 0)]
+    for direction in ["R", "L", "C", "C", "S", "S"]:
+        n = num_split * 2 if direction in ("S", "C") else num_split
+        frames.extend((direction, i) for i in range(1, n))
+        if direction not in ("S", "C"):
+            frames.extend((direction, i) for i in range(n - 1, -1, -1))
+    return frames

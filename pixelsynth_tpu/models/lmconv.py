@@ -45,8 +45,19 @@ class LMConv(nn.Module):
             nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
             (k2, cin, self.features),
         )
+
+        # bias ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)) matching the reference
+        # (locally_masked_convolution.py:133-136).  NOT zeros: the first
+        # pixel of every generation order has a blank mask, and a zero bias
+        # would leave that position identically zero through every layer --
+        # each PONO then amplifies its cotangent by 1/sqrt(eps), which
+        # compounds to inf over the ~30 normalization layers.
+        def bias_init(key, shape, dtype=jnp.float32):
+            bound = 1.0 / jnp.sqrt(jnp.float32(cin * k2))
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
         bias = (
-            self.param("bias", nn.initializers.zeros, (self.features,))
+            self.param("bias", bias_init, (self.features,))
             if self.use_bias else None
         )
         mw = (

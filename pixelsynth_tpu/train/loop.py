@@ -1,0 +1,277 @@
+"""Host-side training drivers for the three stages.
+
+Mirrors the reference entry points:
+  * run_dpr  <- train_dpr.py:91-333 (G/D epochs, 500 it/epoch, rotation
+    curriculum +10 deg every 50 epochs, best-by-PSNR + rolling + periodic
+    checkpoints, preemption-safe resume);
+  * run_vqvae <- train_vqvae.py (MSE + 0.25 latent);
+  * run_lmconv <- train_lmconv.py:662-839 (CE/bpd, mask pool built from the
+    first mask_pool_batches batches' orders and randomly reassigned).
+
+Preemption: SIGTERM/SIGINT set a flag; the loop checkpoints and exits
+cleanly (the orbax-era replacement for the SLURM SIGUSR1 + scontrol
+requeue handler, train_dpr.py:32-88)."""
+
+from __future__ import annotations
+
+import os
+import signal
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixelsynth_tpu.checkpoint import CheckpointManager
+from pixelsynth_tpu.config import Config
+from pixelsynth_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from pixelsynth_tpu.pipeline import PixelSynth
+from pixelsynth_tpu.train.dpr import create_dpr_state, make_dpr_train_step
+
+
+class PreemptionGuard:
+    def __init__(self):
+        self.requested = False
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, self._handler)
+            except ValueError:
+                pass  # not the main thread
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+
+def make_batch_source(cfg: Config, split: str = "train") -> Callable[[], Dict]:
+    """Dataset factory (the reference's options/options.py:21-113)."""
+    if cfg.dataset == "synthetic":
+        rng = np.random.default_rng(cfg.train.seed)
+
+        def fn():
+            from pixelsynth_tpu.data.synthetic import synthetic_pair_batch
+
+            return synthetic_pair_batch(rng, cfg.train.batch_size, cfg.model.W)
+
+        return fn
+    if cfg.dataset == "realestate":
+        from pixelsynth_tpu.data.realestate10k import RealEstate10K
+
+        ds = RealEstate10K(
+            split, data_path=cfg.train_data_path, W=cfg.model.W,
+            max_rotation=cfg.train.max_rotation, seed=cfg.train.seed,
+        )
+
+        def fn():
+            return ds.batch(cfg.train.batch_size)
+
+        fn.dataset = ds  # curriculum hook
+        return fn
+    if cfg.dataset == "custom":
+        from pixelsynth_tpu.data.custom import Custom, collate
+
+        ds = Custom(cfg.train_data_path, W=cfg.model.W)
+        rng = np.random.default_rng(cfg.train.seed)
+
+        def fn():
+            idx = rng.integers(len(ds), size=cfg.train.batch_size)
+            return collate([ds[int(i)] for i in idx])
+
+        return fn
+    raise ValueError(f"unknown dataset {cfg.dataset}")
+
+
+def run_dpr(
+    cfg: Config,
+    workdir: str,
+    *,
+    epochs: Optional[int] = None,
+    iters_per_epoch: Optional[int] = None,
+    use_mesh: bool = True,
+    log_fn: Callable[[str], None] = print,
+) -> Dict[str, float]:
+    """Stage-2 training driver.  Returns the last metrics dict."""
+    guard = PreemptionGuard()
+    ps = PixelSynth(cfg)
+    key = jax.random.PRNGKey(cfg.train.seed)
+    variables = ps.init_variables(key)
+    state, tx_g, tx_d = create_dpr_state(ps, variables)
+    step_fn = make_dpr_train_step(ps, tx_g, tx_d)
+
+    ckpt = CheckpointManager(
+        os.path.join(workdir, "dpr"), max_to_keep=3,
+        best_metric="psnr", best_mode="max", keep_period=50,
+    )
+    start_epoch = 0
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_epoch = int(ckpt.latest_step())
+        log_fn(f"resumed from epoch {start_epoch}")
+
+    mesh = make_mesh(cfg.mesh) if use_mesh else None
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    batch_fn = make_batch_source(cfg, "train")
+    epochs = epochs if epochs is not None else cfg.train.max_epoch
+    iters = iters_per_epoch if iters_per_epoch is not None else cfg.train.iters_per_epoch
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    metrics: Dict[str, float] = {}
+
+    for epoch in range(start_epoch, epochs):
+        # rotation curriculum (train_dpr.py:91-98)
+        tc = cfg.train
+        rot = min(tc.max_rotation + (epoch // tc.curriculum_every) * tc.curriculum_step,
+                  tc.curriculum_max)
+        if hasattr(batch_fn, "dataset"):
+            batch_fn.dataset.set_max_rotation(rot)
+
+        t0 = time.time()
+        for it in range(iters):
+            batch = batch_fn()
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, m, rng = step_fn(state, batch, rng)
+            if guard.requested:
+                break
+        metrics = {k: float(v) for k, v in m.items()}
+        log_fn(
+            f"epoch {epoch} rot {rot} "
+            + " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+            + f" ({time.time() - t0:.1f}s)"
+        )
+        ckpt.save(epoch + 1, jax.device_get(state), cfg, metrics)
+        if guard.requested:
+            log_fn("preemption requested; checkpointed and exiting")
+            break
+    ckpt.close()
+    return metrics
+
+
+def run_vqvae(
+    cfg: Config, workdir: str, *, epochs: int = 1, iters_per_epoch: int = 100,
+    lr: float = 3e-4, use_mesh: bool = True, log_fn=print,
+) -> Dict[str, float]:
+    """Stage-1 driver (train_vqvae.py)."""
+    from pixelsynth_tpu.models.vqvae import VQVAETop
+    from pixelsynth_tpu.train.vqvae import create_vqvae_state, make_vqvae_train_step
+
+    guard = PreemptionGuard()
+    v = cfg.model.vqvae
+    model = VQVAETop(
+        in_channel=v.in_channel, channel=v.channel, n_res_block=v.n_res_block,
+        n_res_channel=v.n_res_channel, embed_dim=v.embed_dim,
+        n_embed=v.n_embed, decay=v.decay,
+    )
+    state, tx = create_vqvae_state(model, jax.random.PRNGKey(cfg.train.seed),
+                                   lr=lr, img_size=cfg.model.W)
+    step_fn = make_vqvae_train_step(model, tx)
+    ckpt = CheckpointManager(os.path.join(workdir, "vqvae"), max_to_keep=2,
+                             best_metric="mse", best_mode="min")
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+
+    mesh = make_mesh(cfg.mesh) if use_mesh else None
+    if mesh is not None:
+        state = replicate(state, mesh)
+    batch_fn = make_batch_source(cfg, "train")
+    metrics = {}
+    start = int(state.step)
+    for epoch in range(epochs):
+        for it in range(iters_per_epoch):
+            img = batch_fn()["input_img"]
+            if mesh is not None:
+                img = shard_batch(img, mesh)
+            state, m = step_fn(state, jnp.asarray(img))
+            if guard.requested:
+                break
+        metrics = {k: float(v) for k, v in m.items()}
+        log_fn(f"vqvae epoch {epoch} " +
+               " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+        ckpt.save(epoch + 1, jax.device_get(state), cfg, metrics)
+        if guard.requested:
+            break
+    ckpt.close()
+    return metrics
+
+
+def run_lmconv(
+    cfg: Config, workdir: str, *, epochs: int = 1, iters_per_epoch: int = 100,
+    codes_path: Optional[str] = None, orders_path: Optional[str] = None,
+    mask_pool_batches: int = 5, use_mesh: bool = True, log_fn=print,
+) -> Dict[str, float]:
+    """Stage-3 driver (train_lmconv.py:662-839).
+
+    codes_path: .npy of (N, 32, 32) int codes (extract_code output);
+    orders_path: .npy of (M, 1024, 2) generation orders
+    (extract_pixcnn_orders output).  Without paths, synthesizes random
+    codes/orders (smoke mode)."""
+    from pixelsynth_tpu.models.lmconv import LMPixelCNN
+    from pixelsynth_tpu.ops.orders import masks_for_orders_batch
+    from pixelsynth_tpu.train.lmconv import create_lmconv_state, make_lmconv_train_step
+
+    guard = PreemptionGuard()
+    l = cfg.model.lmconv
+    rows, cols = l.obs[1], l.obs[2]
+    model = LMPixelCNN(
+        nr_resnet=l.nr_resnet, nr_filters=l.nr_filters,
+        input_channels=l.input_channels, kernel_size=l.kernel_size,
+        max_dilation=l.max_dilation, feature_norm=l.feature_norm,
+        dropout_prob=l.dropout_prob, num_classes=l.num_classes,
+    )
+    state, tx = create_lmconv_state(
+        model, jax.random.PRNGKey(cfg.train.seed), rows=rows, cols=cols
+    )
+    step_fn = make_lmconv_train_step(model, tx)
+    ckpt = CheckpointManager(os.path.join(workdir, "lmconv"), max_to_keep=2,
+                             best_metric="bpd", best_mode="min")
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+
+    rng = np.random.default_rng(cfg.train.seed)
+    if codes_path:
+        codes_all = np.load(codes_path)
+    else:
+        codes_all = rng.integers(0, l.num_classes, (256, rows, cols))
+    if orders_path:
+        orders_all = np.load(orders_path)
+    else:
+        from pixelsynth_tpu.ops.orders import raster_scan_order, augment_orders
+
+        orders_all = np.stack(augment_orders(raster_scan_order(rows, cols),
+                                             rows, cols))
+
+    # mask pool: masks of the first mask_pool_batches x batch orders,
+    # randomly reassigned per image (train_lmconv.py:675-701)
+    pool_orders = orders_all[: mask_pool_batches * cfg.train.batch_size]
+    a, b, d = masks_for_orders_batch(list(pool_orders), rows, cols,
+                                     l.kernel_size, l.max_dilation)
+    mask_pool = np.stack([a, b, d], axis=1)  # (P, 3, k2, HW)
+
+    mesh = make_mesh(cfg.mesh) if use_mesh else None
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    key = jax.random.PRNGKey(cfg.train.seed + 2)
+    metrics = {}
+    for epoch in range(epochs):
+        for it in range(iters_per_epoch):
+            bidx = rng.integers(len(codes_all), size=cfg.train.batch_size)
+            midx = rng.integers(len(mask_pool), size=cfg.train.batch_size)
+            codes = jnp.asarray(codes_all[bidx], jnp.int32)
+            masks = jnp.asarray(mask_pool[midx], jnp.float32)
+            if mesh is not None:
+                codes = shard_batch(codes, mesh)
+                masks = shard_batch(masks, mesh)
+            key, sub = jax.random.split(key)
+            state, m = step_fn(state, codes, masks, sub)
+            if guard.requested:
+                break
+        metrics = {k: float(v) for k, v in m.items()}
+        log_fn(f"lmconv epoch {epoch} " +
+               " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+        ckpt.save(epoch + 1, jax.device_get(state), cfg, metrics)
+        if guard.requested:
+            break
+    ckpt.close()
+    return metrics

@@ -1,0 +1,142 @@
+"""Demo entry point: single image -> novel view or full explorable scene.
+
+Mirrors demo.py (reference): gen_img renders one rotated view with
+outpainting + best-of-N sampling; gen_scene walks all directions with the
+cumulative point cloud and writes the scene grid + video frame sequence
+(R -> L -> C -> C -> S -> S, demo.py:125-164), then assembles an mp4.
+
+Usage:
+  python -m pixelsynth_tpu.demo --img demo.png --mode gen_scene \
+      --result-folder out/ [--ckpt-dir runs/] [--num-samples 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from pixelsynth_tpu.config import Config
+from pixelsynth_tpu.data.demo_data import demo_cameras, load_demo_image
+from pixelsynth_tpu.eval.harness import save_png
+from pixelsynth_tpu.geometry.paths import get_rt_from_rot, num_split_for_direction
+from pixelsynth_tpu.pipeline import CloudState, PixelSynth
+from pixelsynth_tpu.scene import SceneGenerator, video_frame_order
+
+
+def load_model(ckpt_dir: Optional[str], cfg: Optional[Config] = None):
+    """Build PixelSynth + variables; restores a DPR checkpoint's config and
+    generator trees when available (the reference stitches DPR + vqvae +
+    AR + places365 checkpoints at demo.py:198-243; our DPR checkpoint
+    already carries every tree)."""
+    from pixelsynth_tpu.checkpoint import CheckpointManager
+    from pixelsynth_tpu.train.dpr import create_dpr_state
+
+    if ckpt_dir is not None:
+        mgr = CheckpointManager(os.path.join(ckpt_dir, "dpr"))
+        cfg = mgr.load_config() or cfg or Config()
+        ps = PixelSynth(cfg)
+        variables = ps.init_variables(jax.random.PRNGKey(0))
+        state, _, _ = create_dpr_state(ps, variables)
+        state = mgr.restore(state)
+        mgr.close()
+        variables = {**variables, **state.gen_vars,
+                     **state.frozen_vars, "disc": state.disc_vars}
+        return ps, variables
+    cfg = cfg or Config()
+    ps = PixelSynth(cfg)
+    return ps, ps.init_variables(jax.random.PRNGKey(0))
+
+
+def save_scene(outputs: Dict[str, np.ndarray], cfg: Config, result_folder: str):
+    """demo.py:100-124 layout."""
+    for direction in cfg.sample.directions:
+        if direction in ("S", "C"):
+            continue
+        n = num_split_for_direction(direction, cfg.sample.num_split)
+        for i in range(1, n + 1):
+            key = f"PredImg_{direction}_{i}"
+            if key in outputs:
+                save_png(os.path.join(result_folder, "scene",
+                                      f"output_image_{direction}_{i:04d}.png"),
+                         outputs[key][0])
+
+
+def save_video_frames(outputs: Dict[str, np.ndarray], cfg: Config,
+                      result_folder: str) -> str:
+    video_dir = os.path.join(result_folder, "video")
+    for ct, (direction, i) in enumerate(video_frame_order(cfg.sample.num_split)):
+        key = f"PredImg_{direction}_{i}"
+        if key in outputs:
+            save_png(os.path.join(video_dir, f"{ct}.png"), outputs[key][0])
+    return video_dir
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", required=True)
+    ap.add_argument("--mode", default="gen_scene",
+                    choices=["gen_img", "gen_scene"])
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--result-folder", default="demo_out")
+    ap.add_argument("--direction", default="R")
+    ap.add_argument("--rotation", type=float, default=0.3)
+    ap.add_argument("--num-split", type=int, default=None)
+    ap.add_argument("--num-samples", type=int, default=None)
+    ap.add_argument("--temperature", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fps", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    ps, variables = load_model(args.ckpt_dir)
+    cfg = ps.cfg
+    if args.num_split is not None:
+        cfg.sample.num_split = args.num_split
+
+    img, ratio = load_demo_image(args.img, cfg.model.W)
+    cams = demo_cameras(ratio)
+    gen = SceneGenerator(
+        ps, variables,
+        num_samples=args.num_samples, temperature=args.temperature,
+    )
+    rng = jax.random.PRNGKey(args.seed)
+
+    if args.mode == "gen_img":
+        RTinv, RT = get_rt_from_rot(
+            args.direction, cams["P"], scene_mode=False, rotation=args.rotation
+        )
+        view_cams = {"K": cams["K"], "Kinv": cams["Kinv"],
+                     "P_in": cams["P"], "Pinv_in": cams["Pinv"],
+                     "P_out": np.asarray(RT)}
+        cloud = CloudState.empty(1, ps.W * ps.W, 3)
+        best_img, out = gen.generate_view(
+            img, view_cams, cloud, None, cams["Pinv"], rng
+        )
+        save_png(os.path.join(
+            args.result_folder,
+            f"output_image_{args.direction}_{int(args.rotation)}.png",
+        ), np.asarray(best_img[0]))
+        save_png(os.path.join(
+            args.result_folder,
+            f"input_fs_image_{args.direction}_{int(args.rotation)}.png",
+        ), np.asarray(out["gen_fs"][0]))
+        print(f"wrote novel view to {args.result_folder}")
+        return
+
+    outputs = gen.generate_scene(
+        img, cams["K"], cams["Kinv"], cams["P"], cams["Pinv"], rng=rng
+    )
+    save_scene(outputs, cfg, args.result_folder)
+    video_dir = save_video_frames(outputs, cfg, args.result_folder)
+    from pixelsynth_tpu.utils.video import create_video
+
+    ok = create_video(video_dir, os.path.join(args.result_folder, "scene.mp4"),
+                      fps=args.fps)
+    print(f"scene written to {args.result_folder} (video={'ok' if ok else 'frames only'})")
+
+
+if __name__ == "__main__":
+    main()

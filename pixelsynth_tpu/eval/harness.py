@@ -1,0 +1,111 @@
+"""Evaluation harnesses: paired-image quality and two-view consistency.
+
+Mirrors evaluation/eval_quality.py (gen_paired_img over the fixed test set,
+saving input/target/prediction/feature PNGs, 112-154) and
+evaluation/eval_consistency.py (gen_two_imgs: full + half rotation renders
+per fixed consistency direction, 101-149).  The offline metric battery
+(calc_errors) then runs over the saved folders."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from pixelsynth_tpu.geometry.paths import DIRECTION_ORDER
+from pixelsynth_tpu.pipeline import CloudState, PixelSynth
+from pixelsynth_tpu.scene import SceneGenerator
+
+
+def save_png(path: str, img: np.ndarray):
+    """img: (H, W, 3) in [-1, 1] or [0, 1]."""
+    from PIL import Image
+
+    arr = np.asarray(img)
+    if arr.min() < -0.01:
+        arr = arr * 0.5 + 0.5
+    arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def eval_quality(
+    ps: PixelSynth,
+    variables: Dict,
+    dataset,
+    out_dir: str,
+    *,
+    num_samples: int = 1,
+    temperature: float = 0.5,
+    limit: Optional[int] = None,
+    start: int = 0,
+    rng: Optional[jax.Array] = None,
+) -> None:
+    """gen_paired_img over a paired dataset; saves input/ tgt/ pred/ fs/
+    PNG folders (eval_quality.py:112-154).  `start`/`limit` give the
+    index-range sharding the reference docs recommend doing manually
+    across GPUs (docs/REALESTATE.md:74) -- here one range per host."""
+    gen = SceneGenerator(ps, variables, num_samples=num_samples,
+                         temperature=temperature,
+                         cloud_capacity=ps.W * ps.W)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    n = len(dataset) if limit is None else min(start + limit, len(dataset))
+    for i in range(start, n):
+        item = dataset[i]
+        batch = {k: np.asarray(v)[None] for k, v in item.items()}
+        cams = {"K": batch["K"], "Kinv": batch["Kinv"],
+                "P_in": batch["P_in"], "Pinv_in": batch["Pinv_in"],
+                "P_out": batch["P_out"]}
+        cloud = CloudState.empty(1, ps.W * ps.W, 3)
+        rng, sub = jax.random.split(rng)
+        best_img, out = gen.generate_view(
+            batch["input_img"], cams, cloud, None, batch["Pinv_in"], sub
+        )
+        save_png(os.path.join(out_dir, "input", f"{i:04d}.png"),
+                 batch["input_img"][0])
+        save_png(os.path.join(out_dir, "tgt", f"{i:04d}.png"),
+                 batch["output_img"][0])
+        save_png(os.path.join(out_dir, "pred", f"{i:04d}.png"),
+                 np.asarray(best_img[0]))
+        save_png(os.path.join(out_dir, "fs", f"{i:04d}.png"),
+                 np.asarray(out["gen_fs"][0]))
+
+
+def eval_consistency(
+    ps: PixelSynth,
+    variables: Dict,
+    dataset,
+    out_dir: str,
+    *,
+    num_samples: int = 1,
+    temperature: float = 0.5,
+    limit: Optional[int] = None,
+    start: int = 0,
+    rng: Optional[jax.Array] = None,
+) -> None:
+    """gen_two_imgs per item: full + half rotation of the item's fixed
+    consistency direction, saved as output_image_<dir>_0001/0002.png
+    (eval_consistency.py:101-149)."""
+    gen = SceneGenerator(ps, variables, num_samples=num_samples,
+                         temperature=temperature,
+                         cloud_capacity=2 * ps.W * ps.W)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    n = len(dataset) if limit is None else min(start + limit, len(dataset))
+    for i in range(start, n):
+        item = dataset[i]
+        direction = DIRECTION_ORDER[int(item["direction"])]
+        batch = {k: np.asarray(v)[None] for k, v in item.items()
+                 if k != "direction"}
+        rng, sub = jax.random.split(rng)
+        outputs = gen.generate_scene(
+            batch["input_img"], batch["K"], batch["Kinv"],
+            batch["P_in"], batch["Pinv_in"],
+            directions=[direction], rng=sub, two_imgs=True,
+        )
+        img_dir = os.path.join(out_dir, f"{i:04d}")
+        save_png(os.path.join(img_dir, f"output_image_{direction}_0002.png"),
+                 outputs[f"PredImg_{direction}_2"][0])
+        save_png(os.path.join(img_dir, f"output_image_{direction}_0001.png"),
+                 outputs[f"PredImg_{direction}_1"][0])

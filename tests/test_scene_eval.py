@@ -1,0 +1,144 @@
+"""Scene generation + eval harness end-to-end at tiny size."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixelsynth_tpu.config import Config
+from pixelsynth_tpu.pipeline import CloudState, PixelSynth
+from pixelsynth_tpu.scene import SceneGenerator, video_frame_order
+
+
+def tiny_cfg(W=64):
+    cfg = Config()
+    cfg.model.W = W
+    cfg.model.unet_num_filters = 4
+    cfg.model.ngf = 8
+    cfg.model.ndf = 8
+    cfg.model.vqvae.channel = 16
+    cfg.model.vqvae.n_res_channel = 8
+    cfg.model.lmconv.nr_filters = 16
+    cfg.model.lmconv.obs = (3, W // 8, W // 8)
+    cfg.model.splat.max_points_per_tile = 1024
+    cfg.model.splat.tile_group = 4
+    cfg.sample.num_samples = 2
+    cfg.sample.num_split = 2
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def gen():
+    cfg = tiny_cfg()
+    ps = PixelSynth(cfg)
+    vs = ps.init_variables(jax.random.PRNGKey(0))
+    return SceneGenerator(ps, vs, cloud_capacity=2 * 64 * 64)
+
+
+def test_generate_scene_one_direction(gen):
+    W = gen.ps.W
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, W, W, 3)) * 2 - 1
+    I = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    outputs = gen.generate_scene(
+        img, I, I, I, I, directions=["R"], num_split=2,
+        rng=jax.random.PRNGKey(2),
+    )
+    for key in ["PredImg_R_2", "PredImg_R_1", "PredImg_R_0"]:
+        assert key in outputs, list(outputs)
+        arr = outputs[key]
+        assert arr.shape == (1, W, W, 3)
+        assert np.isfinite(arr).all()
+        assert np.abs(arr).max() <= 1.0
+    assert "PredDepthImg_R_2" in outputs
+    assert "ForegroundImg_R_2" in outputs
+
+
+def test_generate_view_candidates_differ(gen):
+    # with a random model, different samples should differ somewhere in the
+    # outpainted region after rotation
+    W = gen.ps.W
+    img = jax.random.uniform(jax.random.PRNGKey(3), (1, W, W, 3)) * 2 - 1
+    I = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    from pixelsynth_tpu.geometry.paths import get_rt_from_rot
+
+    RTinv, RT = get_rt_from_rot("R", I, 2, 2)
+    cams = {"K": I, "Kinv": I, "P_in": I, "Pinv_in": I, "P_out": RT}
+    cloud = CloudState.empty(1, W * W, 3)
+    best, out = gen.generate_view(img, cams, cloud, None, I, jax.random.PRNGKey(4))
+    imgs = np.asarray(out["gen_imgs"])
+    assert imgs.shape[0] == 2
+    assert np.isfinite(out["d_scores"]).all()
+    # bg must exist after a full rotation
+    assert float(np.asarray(out["bg"]).mean()) > 0.01
+
+
+def test_video_frame_order():
+    frames = video_frame_order(4)
+    assert frames[0] == ("R", 0)
+    dirs = [d for d, _ in frames]
+    assert set(dirs) <= {"R", "L", "C", "S"}
+    # after the leading R_0 frame, R walks out 1..3 then back 3..0
+    r_frames = [i for d, i in frames[1:9] if d == "R"]
+    assert r_frames == [1, 2, 3, 3, 2, 1, 0]
+
+
+def test_eval_quality_and_calc_errors(gen, tmp_path):
+    from pixelsynth_tpu.eval.calc_errors import calc_errors_quality
+    from pixelsynth_tpu.eval.harness import eval_quality
+
+    W = gen.ps.W
+    rng = np.random.default_rng(0)
+
+    class FakeDS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            I = np.eye(4, dtype=np.float32)
+            img = rng.uniform(-1, 1, (W, W, 3)).astype(np.float32)
+            return {"input_img": img, "output_img": img,
+                    "K": I, "Kinv": I, "P_in": I, "Pinv_in": I,
+                    "P_out": I, "Pinv_out": I}
+
+    out_dir = str(tmp_path / "eval")
+    eval_quality(gen.ps, gen.variables, FakeDS(), out_dir, num_samples=2)
+    for sub in ("input", "tgt", "pred", "fs"):
+        assert len(os.listdir(os.path.join(out_dir, sub))) == 2
+
+    def feat(batch01):
+        return batch01.reshape(batch01.shape[0], -1)[:, ::512]
+
+    m = calc_errors_quality(out_dir, feature_fn=feat)
+    assert np.isfinite(m["PSNR"]) and np.isfinite(m["PercSim"])
+    assert "FID" in m and np.isfinite(m["FID"])
+
+
+def test_homography_identity_consistency():
+    from pixelsynth_tpu.eval.homography import consistency_pair_metrics
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    mask = np.ones((64, 64), np.float32)
+    # reference points on a grid, identical in both views -> identity H
+    ys, xs = np.meshgrid(np.linspace(-0.9, 0.9, 8), np.linspace(-0.9, 0.9, 8),
+                         indexing="ij")
+    pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+    m = consistency_pair_metrics(img, img, mask, mask, pts, pts)
+    assert m["PSNR_vis"] > 40
+
+
+def test_demo_save_layout(tmp_path):
+    from pixelsynth_tpu.demo import save_scene, save_video_frames
+
+    cfg = tiny_cfg()
+    cfg.sample.directions = ("R", "L")
+    outputs = {}
+    for d in ("R", "L"):
+        for i in range(0, 3):
+            outputs[f"PredImg_{d}_{i}"] = np.zeros((1, 8, 8, 3), np.float32)
+    save_scene(outputs, cfg, str(tmp_path))
+    assert os.path.exists(tmp_path / "scene" / "output_image_R_0001.png")
+    video_dir = save_video_frames(outputs, cfg, str(tmp_path))
+    assert os.path.exists(os.path.join(video_dir, "0.png"))

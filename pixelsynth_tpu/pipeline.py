@@ -447,6 +447,30 @@ class PixelSynth:
         }
         return total, (losses, outputs, updates)
 
+    def forward_angle(self, variables, img, K, Kinv, RTs, *, rng=None,
+                      return_depth: bool = False):
+        """Render a list of output extrinsics from one image without
+        outpainting (z_buffermodel.py:710-754); the noise stream is reset
+        per view so stochastic layers match across angles (739-741)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        B = img.shape[0]
+        I = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+        depth, _ = self.regress_depth(variables["unet"], img)
+        fs, _ = self.features(variables, img)
+        gen_imgs = []
+        for RT in RTs:
+            cams = {"K": K, "Kinv": Kinv, "P_in": I, "Pinv_in": I,
+                    "P_out": jnp.asarray(RT)}
+            gen_fs, bg, _ = self.splat_view(fs, depth, cams)
+            mask_arg = None if self.cfg.model.no_outpainting else bg
+            gen_img, _ = self.decode_image(
+                variables["projector"], gen_fs, mask_arg, rngs={"noise": rng}
+            )
+            gen_imgs.append(gen_img)
+        if return_depth:
+            return gen_imgs, depth
+        return gen_imgs
+
     def render_no_outpaint(self, variables, img, cams, *, rngs=None):
         """The minimum end-to-end slice (no_outpainting path,
         z_buffermodel.py:382-383): depth -> project -> splat -> decode."""

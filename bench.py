@@ -40,6 +40,7 @@ def main():
         nr_resnet=l.nr_resnet, nr_filters=l.nr_filters, input_channels=NC,
         kernel_size=l.kernel_size, max_dilation=l.max_dilation,
         feature_norm=l.feature_norm, num_classes=NC,
+        compute_dtype="bfloat16", backend="pallas",
     )
 
     rng = np.random.default_rng(0)
@@ -63,9 +64,10 @@ def main():
         bg_p = jnp.repeat(jnp.asarray(bg), pop, 0)
         masks_p = jnp.repeat(masks1, pop, 0)
 
-        def logits_fn(onehot):
-            return model.apply(variables, onehot, masks_p[:, 0], masks_p[:, 1],
-                               masks_p[:, 2], train=False)
+        def logits_fn(cur_codes, filled):
+            return model.apply(variables, None, masks_p[:, 0], masks_p[:, 1],
+                               masks_p[:, 2], codes=cur_codes, filled=filled,
+                               train=False)
 
         f = jax.jit(
             lambda k: ar_sample(logits_fn, codes_p, order_p, bg_p, k,

@@ -69,6 +69,9 @@ class LMConvConfig:
     weight_norm: bool = False
     num_classes: int = 512
     obs: Tuple[int, int, int] = (3, 32, 32)  # (C, rows, cols) of the code grid
+    # TPU implementation knobs:
+    compute_dtype: str = "bfloat16"   # einsum compute dtype
+    sample_backend: str = "pallas"    # masked-conv backend for AR sampling
 
 
 @dataclass

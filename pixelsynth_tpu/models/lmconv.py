@@ -15,29 +15,37 @@ down pass (gated resnets with nin skip fusion, lmconv/layers.py:136-163).
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from pixelsynth_tpu.models.layers import Nin, concat_elu, order_rescale, pono
-from pixelsynth_tpu.ops.masked_conv import locally_masked_conv2d
+from pixelsynth_tpu.ops.masked_conv import locally_masked_conv2d, locally_masked_embed
 
 
 class LMConv(nn.Module):
-    """One locally masked conv layer; weight (k*k, Cin, Cout)."""
+    """One locally masked conv layer; weight (k*k, Cin, Cout).
+
+    When `codes`/`filled` are given instead of a dense x, the layer runs
+    the embedding-gather fast path (ops.masked_conv.locally_masked_embed);
+    `embed_classes` then fixes Cin = classes + 1 (ones padding channel).
+    """
 
     features: int
     kernel: int = 3
     dilation: int = 1
     use_bias: bool = True
     mask_weight: bool = False
+    compute_dtype: Optional[str] = None
+    embed_classes: Optional[int] = None
+    backend: str = "xla"   # xla (differentiable) | pallas (inference fast path)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x, mask: jnp.ndarray, *, codes=None, filled=None) -> jnp.ndarray:
         k2 = self.kernel * self.kernel
-        cin = x.shape[-1]
+        cin = (self.embed_classes + 1) if self.embed_classes else x.shape[-1]
         # kaiming-uniform fan_in, matching the reference reset_parameters
         # (locally_masked_convolution.py:128-136)
         weight = self.param(
@@ -68,7 +76,26 @@ class LMConv(nn.Module):
             )
             if self.mask_weight else None
         )
-        return locally_masked_conv2d(x, mask, weight, bias, mw, dilation=self.dilation)
+        if codes is not None:
+            assert self.embed_classes is not None and self.dilation == 1
+            return locally_masked_embed(
+                codes, filled, mask, weight, bias,
+                num_classes=self.embed_classes,
+            )
+        if self.backend == "pallas" and mw is None:
+            from pixelsynth_tpu.ops.masked_conv_pallas import (
+                locally_masked_conv2d_pallas,
+            )
+
+            return locally_masked_conv2d_pallas(
+                x, mask, weight, bias, dilation=self.dilation,
+                compute_dtype=self.compute_dtype or "bfloat16",
+            )
+        dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        return locally_masked_conv2d(
+            x, mask, weight, bias, mw, dilation=self.dilation,
+            compute_dtype=dtype,
+        )
 
 
 class FeatureNorm(nn.Module):
@@ -94,20 +121,23 @@ class GatedResnet(nn.Module):
     dropout_prob: float = 0.0
     conv_bias: bool = True
     conv_mask_weight: bool = False
+    compute_dtype: Optional[str] = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, og_x, a=None, *, mask, train: bool = True):
         F = self.nr_filters
-        x = LMConv(F, self.kernel, 1, self.conv_bias, self.conv_mask_weight)(
-            concat_elu(og_x), mask
-        )
+        x = LMConv(F, self.kernel, 1, self.conv_bias, self.conv_mask_weight,
+                   compute_dtype=self.compute_dtype,
+                   backend=self.backend)(concat_elu(og_x), mask)
         x = FeatureNorm(self.feature_norm)(x, mask)
         if a is not None:
             x = x + Nin(F)(concat_elu(a))
         x = concat_elu(x)
         if self.dropout_prob > 0:
             x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
-        x = LMConv(2 * F, self.kernel, 1, self.conv_bias, self.conv_mask_weight)(x, mask)
+        x = LMConv(2 * F, self.kernel, 1, self.conv_bias, self.conv_mask_weight,
+                   compute_dtype=self.compute_dtype, backend=self.backend)(x, mask)
         a_out, b_out = jnp.split(x, 2, axis=-1)
         a_out = FeatureNorm(self.feature_norm)(a_out, mask)
         return og_x + a_out * nn.sigmoid(b_out)
@@ -126,43 +156,61 @@ class LMPixelCNN(nn.Module):
     conv_bias: bool = True
     conv_mask_weight: bool = False
     num_classes: int = 512
+    compute_dtype: Optional[str] = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
+        x: Optional[jnp.ndarray],
         mask_init: jnp.ndarray,
         mask_undilated: jnp.ndarray,
         mask_dilated: jnp.ndarray,
         *,
+        codes: Optional[jnp.ndarray] = None,
+        filled: Optional[jnp.ndarray] = None,
         train: bool = True,
     ) -> jnp.ndarray:
         """x: (B, H, W, input_channels) one-hot codes; masks: (B, k^2, H*W).
 
-        Returns logits (B, H, W, num_classes).
+        Fast path: pass `codes` (B, H, W) int + `filled` (B, H, W) instead
+        of x -- the first layer becomes a per-tap embedding gather (same
+        parameters, ~60% fewer FLOPs).  Returns logits (B, H, W,
+        num_classes).
         """
         F = self.nr_filters
         k = self.kernel_size
 
-        def conv(feats, dilation=1):
-            return LMConv(feats, k, dilation, self.conv_bias, self.conv_mask_weight)
+        def conv(feats, dilation=1, embed=False):
+            return LMConv(
+                feats, k, dilation, self.conv_bias, self.conv_mask_weight,
+                compute_dtype=self.compute_dtype,
+                embed_classes=self.input_channels if embed else None,
+                backend=self.backend,
+            )
 
         def gated(u, a=None):
             return GatedResnet(
                 F, k, self.feature_norm, self.dropout_prob,
                 self.conv_bias, self.conv_mask_weight,
+                compute_dtype=self.compute_dtype, backend=self.backend,
             )(u, a, mask=mask_undilated, train=train)
 
         norm = FeatureNorm(self.feature_norm)
 
-        # pad channel of ones (model.py:118-129)
-        ones = jnp.ones(x.shape[:-1] + (1,), x.dtype)
-        h = jnp.concatenate([x, ones], axis=-1)
-
         ### UP PASS (model.py:131-141)
         # mask_undilated goes to the norm so the center tap keeps
         # OrderRescale's denominator >= 1 (model.py:132-134)
-        u_list: List[jnp.ndarray] = [norm(conv(F)(h, mask_init), mask_undilated)]
+        if codes is not None:
+            if filled is None:
+                filled = jnp.ones(codes.shape, jnp.float32)
+            u0 = conv(F, embed=True)(None, mask_init, codes=codes, filled=filled)
+        else:
+            # pad channel of ones (model.py:118-129)
+            ones = jnp.ones(x.shape[:-1] + (1,), x.dtype)
+            h = jnp.concatenate([x, ones], axis=-1)
+            u0 = conv(F)(h, mask_init)
+        u_list: List[jnp.ndarray] = [norm(u0, mask_undilated)]
         for _ in range(2):
             for _ in range(self.nr_resnet):
                 u_list.append(gated(u_list[-1]))

@@ -1,0 +1,91 @@
+"""Pallas TPU kernel for the locally masked convolution.
+
+The XLA formulations (ops/masked_conv.py) are HBM-bound: either the im2col
+patch tensor or the per-tap product tensor (k^2 x activations) round-trips
+through HBM for every one of the PixelCNN's ~30 conv layers.  At PixelSynth
+sizes the whole activation grid of one image is tiny (32x32x160 bf16 =
+320 KB), so this kernel keeps x, the mask, and all tap weights resident in
+VMEM, runs one (HW, Cin) @ (Cin, Cout) MXU matmul per tap on the
+shifted-in-VMEM activations, and accumulates mask-scaled results in a VMEM
+scratch -- x is read from HBM exactly once and out written once.
+
+Grid: one program per batch element.  Equivalent to
+ops.masked_conv.locally_masked_conv2d (tests/test_masked_conv_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, m_ref, w_ref, b_ref, out_ref, *, H, W, Cin, Cout, k,
+            dilation, acc_dtype):
+    half = k // 2
+    pad = half * dilation
+    x = x_ref[0]                      # (H, W, Cin)
+    xp = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)))
+    acc = jnp.zeros((H * W, Cout), acc_dtype)
+    for i in range(k):
+        for j in range(k):
+            t = i * k + j
+            dr = (i - half) * dilation
+            dc = (j - half) * dilation
+            xs = xp[pad + dr: pad + dr + H,
+                    pad + dc: pad + dc + W, :].reshape(H * W, Cin)
+            z = jnp.dot(xs, w_ref[t], preferred_element_type=acc_dtype)
+            mt = m_ref[0, :, :, t].reshape(H * W, 1).astype(acc_dtype)
+            acc = acc + mt * z
+    acc = acc + b_ref[:].astype(acc_dtype)
+    out_ref[0] = acc.reshape(H, W, Cout).astype(out_ref.dtype)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "compute_dtype"))
+def locally_masked_conv2d_pallas(
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    *,
+    dilation: int = 1,
+    compute_dtype: str = "bfloat16",
+) -> jnp.ndarray:
+    """x: (B, H, W, Cin); mask: (B, k*k, H*W); weight: (k*k, Cin, Cout)."""
+    B, H, W, Cin = x.shape
+    K2, _, Cout = weight.shape
+    k = int(round(K2 ** 0.5))
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    m = mask.reshape(B, K2, H, W).transpose(0, 2, 3, 1)  # (B,H,W,k2)
+    if bias is None:
+        bias = jnp.zeros((Cout,), jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, H=H, W=W, Cin=Cin, Cout=Cout, k=k, dilation=dilation,
+        acc_dtype=jnp.float32,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, Cin), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, W, K2), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K2, Cin, Cout), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout,), lambda b: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, Cout), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_use_interpret(),
+    )(x.astype(cdt), m.astype(cdt), weight.astype(cdt), bias)

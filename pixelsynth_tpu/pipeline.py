@@ -196,12 +196,19 @@ class PixelSynth:
             embed_dim=v.embed_dim, n_embed=v.n_embed, decay=v.decay,
         )
         l = mc.lmconv
-        self.pixelcnn = LMPixelCNN(
+        pcnn_args = dict(
             nr_resnet=l.nr_resnet, nr_filters=l.nr_filters,
             input_channels=l.input_channels, kernel_size=l.kernel_size,
             max_dilation=l.max_dilation, feature_norm=l.feature_norm,
             dropout_prob=l.dropout_prob, conv_bias=l.conv_bias,
             conv_mask_weight=l.conv_mask_weight, num_classes=l.num_classes,
+        )
+        # differentiable instance (training) + fast-backend instance
+        # (sampling) sharing one parameter tree
+        self.pixelcnn = LMPixelCNN(**pcnn_args)
+        self.pixelcnn_fast = LMPixelCNN(
+            **pcnn_args, compute_dtype=l.compute_dtype,
+            backend=l.sample_backend,
         )
         self.disc = MultiscaleDiscriminator(ndf=mc.ndf)
         self.vgg = VGG19Features()
@@ -350,6 +357,16 @@ class PixelSynth:
         return self.pixelcnn.apply(
             pcnn_vars, onehot, masks[:, 0], masks[:, 1], masks[:, 2],
             train=train, rngs=rngs,
+        )
+
+    def pixelcnn_logits_codes(self, pcnn_vars, codes, filled, masks, *,
+                              train=False, rngs=None):
+        """Sampling fast path: integer codes + filled mask in place of the
+        one-hot tensor, embedding-gather first layer, and the Pallas
+        masked-conv backend (same parameters, same logits)."""
+        return self.pixelcnn_fast.apply(
+            pcnn_vars, None, masks[:, 0], masks[:, 1], masks[:, 2],
+            codes=codes, filled=filled, train=train, rngs=rngs,
         )
 
     def decode_image(self, proj_vars, combined, bg_mask, *, train=False, rngs=None):

@@ -51,7 +51,7 @@ def sample_positions(
 
 
 def ar_sample(
-    logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    logits_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     codes: jnp.ndarray,
     order: jnp.ndarray,
     bg_ds: jnp.ndarray,
@@ -63,9 +63,15 @@ def ar_sample(
 ) -> jnp.ndarray:
     """Fill the background cells of `codes` autoregressively.
 
+    The loop carries compact integer state -- (codes (B, H, W) int32,
+    filled (B, H, W) float) -- instead of a one-hot tensor; the PixelCNN's
+    first layer consumes it directly through the embedding-gather fast
+    path (positions with filled=0 behave exactly like the reference's
+    zeroed one-hot rows, sample.py:47).
+
     Args:
-      logits_fn: (B, H, W, num_classes) one-hot -> (B, H, W, num_classes)
-        logits (the PixelCNN closed over its masks).
+      logits_fn: (codes (B,H,W) int32, filled (B,H,W)) -> logits
+        (B, H, W, num_classes) (the PixelCNN closed over its masks).
       codes: (B, H, W) int initial codes (visible content; background cells
         are overwritten).
       order: (B, H*W, 2) generation order; bg_ds: (B, H, W) float.
@@ -77,33 +83,33 @@ def ar_sample(
     positions, n_bg = sample_positions(order, bg_ds)
     steps = jnp.max(n_bg) if max_steps is None else jnp.int32(max_steps)
 
-    onehot = jax.nn.one_hot(codes, num_classes)
-    # zero out the sampling region (sample.py:47)
-    sel_any = jnp.zeros((B, HW))
+    # zero out the sampling region (sample.py:47): bg cells start unfilled
     bg_sel = (
         jnp.zeros((B, HW))
         .at[jnp.arange(B)[:, None], positions]
         .add(jnp.where(jnp.arange(HW)[None] < n_bg[:, None], 1.0, 0.0))
     )
-    del sel_any
-    data = onehot.reshape(B, HW, num_classes) * (1.0 - bg_sel[..., None])
+    filled0 = 1.0 - bg_sel
+    codes0 = codes.reshape(B, HW).astype(jnp.int32)
 
-    def body(t, data):
-        logits = logits_fn(data.reshape(B, H, W, num_classes))
+    def body(t, state):
+        cur, filled = state
+        logits = logits_fn(cur.reshape(B, H, W), filled.reshape(B, H, W))
         logits = logits.reshape(B, HW, num_classes)
         pos = positions[:, t]                                   # (B,)
-        active = (t < n_bg).astype(data.dtype)                  # (B,)
+        active = (t < n_bg)                                     # (B,)
         sel_logits = jnp.take_along_axis(
             logits, pos[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]                                                 # (B, C)
         k = jax.random.fold_in(key, t)
         new = jax.random.categorical(k, sel_logits / temperature, axis=-1)
-        new_oh = jax.nn.one_hot(new, num_classes, dtype=data.dtype)
-        sel = jax.nn.one_hot(pos, HW, dtype=data.dtype) * active[:, None]
-        return data * (1.0 - sel[..., None]) + sel[..., None] * new_oh[:, None, :]
+        sel = jax.nn.one_hot(pos, HW, dtype=filled.dtype) * active[:, None]
+        cur = jnp.where((sel > 0), new[:, None].astype(jnp.int32), cur)
+        filled = jnp.maximum(filled, sel)
+        return cur, filled
 
-    data = jax.lax.fori_loop(0, steps, body, data)
-    return jnp.argmax(data.reshape(B, H, W, num_classes), axis=-1).astype(jnp.int32)
+    cur, _ = jax.lax.fori_loop(0, steps, body, (codes0, filled0))
+    return cur.reshape(B, H, W)
 
 
 # ---------------------------------------------------------------------------

@@ -81,8 +81,10 @@ class SceneGenerator:
         order_s = _tile(order, S)
         bg_ds_s = _tile(bg_ds, S)
 
-        def logits_fn(onehot):
-            return ps.pixelcnn_logits(variables["pixelcnn"], onehot, masks_s)
+        def logits_fn(cur_codes, filled):
+            return ps.pixelcnn_logits_codes(
+                variables["pixelcnn"], cur_codes, filled, masks_s
+            )
 
         sampled = ar_sample(
             logits_fn, codes_s, order_s, bg_ds_s, rng,

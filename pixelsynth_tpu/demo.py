@@ -91,6 +91,9 @@ def main(argv=None):
     ap.add_argument("--fps", type=int, default=10)
     args = ap.parse_args(argv)
 
+    if not os.path.exists(args.img):
+        raise SystemExit(f"error: input image not found: {args.img}")
+
     ps, variables = load_model(args.ckpt_dir)
     cfg = ps.cfg
     if args.num_split is not None:

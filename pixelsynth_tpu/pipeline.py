@@ -217,7 +217,23 @@ class PixelSynth:
 
     # -- initialization ----------------------------------------------------
 
-    def init_variables(self, key: jax.Array, with_disc: bool = True) -> Dict:
+    def init_variables(self, key: jax.Array, with_disc: bool = True,
+                       on_cpu: bool = True) -> Dict:
+        """Initialize all variable trees.
+
+        Initialization is pure RNG + shape inference, so it runs on the CPU
+        backend by default -- compiling six full-size init graphs on an
+        accelerator (particularly through a remote-compile tunnel) costs
+        minutes for no benefit; arrays move to device lazily on first use.
+        """
+        if on_cpu:
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    return self.init_variables(key, with_disc, on_cpu=False)
         W = self.W
         img = jnp.zeros((1, W, W, 3))
         k_unet, k_proj, k_vq, k_pcnn, k_disc, k_vgg, k_noise = jax.random.split(key, 7)

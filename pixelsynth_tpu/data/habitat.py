@@ -1,0 +1,77 @@
+"""Habitat (Matterport3D / Replica) data interface.
+
+The reference renders training pairs on the fly from habitat-sim, an
+external C++ simulator, behind 5 worker processes
+(data/create_rgb_dataset.py:90-439, utils/custom_habitat_vector_env.py).
+Rebuilding a simulator is out of scope (SURVEY.md section 2.1); the
+TPU-native treatment keeps habitat as an *external host-side data source*:
+
+  * `PreRenderedEpisodes` consumes shards exported by a habitat-sim
+    process (run `tools/export_habitat_shards.py` -- reproduced below --
+    in any environment with habitat installed) with the same sampling
+    semantics: random navigable viewpoint + quaternion-jittered second
+    view within max_rotation degrees;
+  * `HabitatGeneratorProtocol` documents the callable interface a live
+    simulator bridge must satisfy to plug into train.loop.make_batch_source.
+
+Shard layout (one .npz per shard):
+  images:  (N, 2, W, W, 3) uint8
+  P:       (N, 2, 4, 4) float32   (habitat-merged, K folded like
+                                    data/create_rgb_dataset.py:204-216)
+  Pinv:    (N, 2, 4, 4) float32
+  K, Kinv: (4, 4) float32
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Iterator, Protocol
+
+import numpy as np
+
+
+class HabitatGeneratorProtocol(Protocol):
+    """What a live habitat-sim bridge must provide."""
+
+    def sample_pair(self) -> Dict[str, np.ndarray]:
+        """-> {input_img, output_img (W,W,3) in [-1,1], K, Kinv,
+        P_in, Pinv_in, P_out, Pinv_out (4,4)}."""
+        ...
+
+
+class PreRenderedEpisodes:
+    """Batch source over exported habitat shards."""
+
+    def __init__(self, shard_dir: str, seed: int = 0):
+        self.paths = sorted(glob.glob(os.path.join(shard_dir, "*.npz")))
+        if not self.paths:
+            raise FileNotFoundError(f"no habitat shards in {shard_dir}")
+        self.rng = np.random.default_rng(seed)
+        self._cache_path = None
+        self._cache = None
+
+    def _load(self, path: str):
+        if self._cache_path != path:
+            self._cache = np.load(path)
+            self._cache_path = path
+        return self._cache
+
+    def sample_pair(self) -> Dict[str, np.ndarray]:
+        shard = self._load(self.paths[self.rng.integers(len(self.paths))])
+        i = int(self.rng.integers(shard["images"].shape[0]))
+        imgs = shard["images"][i].astype(np.float32) / 255.0 * 2.0 - 1.0
+        return {
+            "input_img": imgs[0],
+            "output_img": imgs[1],
+            "K": shard["K"].astype(np.float32),
+            "Kinv": shard["Kinv"].astype(np.float32),
+            "P_in": shard["P"][i, 0],
+            "Pinv_in": shard["Pinv"][i, 0],
+            "P_out": shard["P"][i, 1],
+            "Pinv_out": shard["Pinv"][i, 1],
+        }
+
+    def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        items = [self.sample_pair() for _ in range(batch_size)]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}

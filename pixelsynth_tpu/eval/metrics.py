@@ -125,6 +125,62 @@ def load_torch_vgg16(npz_path: str):
     return {"params": params}
 
 
+class LPIPS:
+    """Learned perceptual distance (utils/calc_errors.py:209-212 uses the
+    lpips package, alex + vgg variants): channel-normalized VGG16 features,
+    squared difference, per-channel learned linear weights, spatial mean.
+
+    `lin_weights`: list of (C_l,) arrays (converted from the lpips release
+    via npz: keys lin0..lin4); None -> uniform 1/C_l weights, which reduces
+    to a squared-PercSim -- usable for smoke, not for published-number
+    parity."""
+
+    def __init__(self, variables=None, lin_weights=None, key=None):
+        self.net = VGG16Features()
+        if variables is None:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            variables = self.net.init({"params": key}, jnp.zeros((1, 64, 64, 3)))
+        self.variables = variables
+        self.lin_weights = lin_weights
+        self._fn = jax.jit(self._dist)
+
+    def _dist(self, a01, b01):
+        a = (a01 - LPIPS_SHIFT) / LPIPS_SCALE
+        b = (b01 - LPIPS_SHIFT) / LPIPS_SCALE
+        fa = self.net.apply(self.variables, a)
+        fb = self.net.apply(self.variables, b)
+        total = 0.0
+        for i, (x, y) in enumerate(zip(fa, fb)):
+            xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-10)
+            yn = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-10)
+            d2 = (xn - yn) ** 2
+            if self.lin_weights is not None:
+                w = jnp.asarray(self.lin_weights[i]).reshape(1, 1, 1, -1)
+                d2 = d2 * w
+            else:
+                d2 = d2 / d2.shape[-1]
+            total = total + jnp.mean(
+                jnp.sum(d2, axis=-1).reshape(d2.shape[0], -1), axis=1
+            )
+        return total
+
+    def __call__(self, a01, b01) -> jnp.ndarray:
+        return self._fn(jnp.asarray(a01), jnp.asarray(b01))
+
+
+def load_lpips_lin_weights(npz_path: str):
+    """lpips release lin layers exported as npz 'lin<i>.model.1.weight'
+    (1x1 conv, (1, C, 1, 1)) -> list of (C,) arrays."""
+    raw = np.load(npz_path)
+    out = []
+    for i in range(5):
+        for k in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if k in raw.files:
+                out.append(raw[k].reshape(-1))
+                break
+    return out
+
+
 # ---------------------------------------------------------------------------
 # FID machinery
 # ---------------------------------------------------------------------------

@@ -183,6 +183,12 @@ class PixelSynth:
             None if mc.use_rgb_features
             else ResNetEncoder(mc.refine_model_type, mc.ngf, spectral)
         )
+        # post-splat feature modifier U-Net (z_buffermodel.py:45-46,334-335)
+        self.modifier = (
+            UNet(num_filters=mc.unet_num_filters, channels_out=64,
+                 spectral=spectral, levels=levels)
+            if "modifier" in mc.depth_predictor_type else None
+        )
         self.projector = ResNetDecoder(
             mc.refine_model_type, mc.ngf, spectral,
             predict_residual=mc.predict_residual,
@@ -407,6 +413,7 @@ class PixelSynth:
         rngs: Dict,
         *,
         train_ar: bool = True,
+        train: bool = True,
     ):
         """Stage-2 training forward (z_buffermodel.py:291-419, train mode).
 
@@ -422,12 +429,23 @@ class PixelSynth:
         out_img = batch["output_img"]
         cams = {k: batch[k] for k in ("K", "Kinv", "P_in", "Pinv_in", "P_out")}
 
-        depth, unet_upd = self.regress_depth(
-            gen_vars["unet"], img, train=True, rngs=rngs
-        )
+        if self.cfg.model.use_gt_depth and "depth_img" in batch:
+            # ground-truth depth path (z_buffermodel.py:315-316)
+            depth, unet_upd = batch["depth_img"], None
+        else:
+            depth, unet_upd = self.regress_depth(
+                gen_vars["unet"], img, train=train, rngs=rngs
+            )
         all_vars = dict(gen_vars)
-        fs, enc_upd = self.features(all_vars, img, train=True, rngs=rngs)
+        fs, enc_upd = self.features(all_vars, img, train=train, rngs=rngs)
         gen_fs, bg, _ = self.splat_view(fs, depth, cams)
+        if self.modifier is not None and "modifier" in gen_vars:
+            mutable = ["batch_stats", "spectral_stats"] if train else False
+            mod_out = self.modifier.apply(
+                gen_vars["modifier"], gen_fs, train=train, rngs=rngs,
+                mutable=mutable,
+            )
+            gen_fs = mod_out[0] if train else mod_out
 
         updates = {"unet": unet_upd}
         if enc_upd is not None:
@@ -441,7 +459,7 @@ class PixelSynth:
             codes, _ = self.vq_encode(frozen_vars["vqvae"], out_img)
             oh = jax.nn.one_hot(codes, self.cfg.model.lmconv.num_classes)
             ar_logits = self.pixelcnn_logits(
-                gen_vars["pixelcnn"], oh, masks, train=True, rngs=rngs
+                gen_vars["pixelcnn"], oh, masks, train=train, rngs=rngs
             )
             ar_loss = _softmax_xent(ar_logits, codes)
         else:
@@ -454,7 +472,7 @@ class PixelSynth:
         )
         combined = self.combine(gen_fs, input_gt, bg)
         gen_img, proj_upd = self.decode_image(
-            gen_vars["projector"], combined, bg, train=True, rngs=rngs
+            gen_vars["projector"], combined, bg, train=train, rngs=rngs
         )
         updates["projector"] = proj_upd
 
@@ -469,6 +487,11 @@ class PixelSynth:
             total = total + ar_loss * (1.0 if lam is None else lam)
             # bits-per-dim-style report (z_buffermodel.py:398)
             losses["autoreg_loss"] = ar_loss / np.log(2.0)
+        if self.cfg.model.train_depth and "depth_img" in batch:
+            # supervised depth L1 (z_buffermodel.py:404-407)
+            depth_loss = jnp.mean(jnp.abs(depth - batch["depth_img"]))
+            total = total + depth_loss
+            losses["depth_loss"] = depth_loss
         losses["Total Loss"] = total
 
         outputs = {

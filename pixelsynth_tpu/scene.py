@@ -146,8 +146,14 @@ class SceneGenerator:
         num_split: Optional[int] = None,
         rng: Optional[jax.Array] = None,
         two_imgs: bool = False,
+        sequential: bool = False,
     ) -> Dict[str, np.ndarray]:
-        """Full scene walk (z_buffermodel.py:421-592, non-sequential mode).
+        """Full scene walk (z_buffermodel.py:421-592).
+
+        Non-sequential mode (default): jump to the full rotation first,
+        then sweep back toward the input (z_buffermodel.py:471-529).
+        sequential=True walks outward 0..num_split instead
+        (opt.sequential_outpainting, z_buffermodel.py:531-589).
 
         Returns {"PredImg_<dir>_<i>": (1,W,W,3) in [-1,1], ...} plus
         depth/foreground entries for the full-rotation view of each
@@ -175,8 +181,12 @@ class SceneGenerator:
         for direction in directions:
             n_split = num_split_for_direction(direction, base_split, two_imgs)
 
-            # view order: full rotation first, then sweep back (z_buffermodel.py:478,529)
-            numerators = [n_split] + list(reversed(range(n_split)))
+            # view order: full rotation first then sweep back, or walk
+            # outward in sequential mode (z_buffermodel.py:478,529-531)
+            if sequential:
+                numerators = list(range(n_split + 1))
+            else:
+                numerators = [n_split] + list(reversed(range(n_split)))
             for numerator in numerators:
                 if last_numerator is None:
                     cin_inv, cin = Pinv_in, P_in

@@ -74,6 +74,10 @@ def create_dpr_state(ps: PixelSynth, variables: Dict) -> Tuple[DPRTrainState, An
     gen, disc, frozen = split_gen_vars(variables)
     tx_g = optax.adam(cfg.lr_g, b1=cfg.beta1, b2=cfg.beta2)
     tx_d = optax.adam(cfg.lr_d, b1=cfg.beta1, b2=cfg.beta2)
+    if cfg.num_accumulations > 1:
+        # microbatch gradient accumulation (base_model.py:92-129 semantics)
+        tx_g = optax.MultiSteps(tx_g, cfg.num_accumulations)
+        tx_d = optax.MultiSteps(tx_d, cfg.num_accumulations)
     state = DPRTrainState(
         gen_vars=gen,
         disc_vars=disc,
@@ -171,3 +175,19 @@ def make_dpr_train_step(
         return new_state, metrics, rng_next
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_dpr_eval_step(ps: PixelSynth, *, train_ar: bool = True) -> Callable:
+    """Validation forward (train_dpr.py:164-218 val path): same losses
+    (incl. PSNR used for best-checkpoint selection), no parameter or
+    statistics updates."""
+
+    def step(state: DPRTrainState, batch: Dict, rng: jax.Array):
+        rngs = {"noise": rng}
+        _, (losses, outputs, _) = ps.train_forward(
+            state.gen_vars, state.frozen_vars, batch, rngs,
+            train_ar=train_ar, train=False,
+        )
+        return losses
+
+    return jax.jit(step)

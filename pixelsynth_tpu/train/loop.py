@@ -27,7 +27,28 @@ from pixelsynth_tpu.checkpoint import CheckpointManager
 from pixelsynth_tpu.config import Config
 from pixelsynth_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from pixelsynth_tpu.pipeline import PixelSynth
-from pixelsynth_tpu.train.dpr import create_dpr_state, make_dpr_train_step
+from pixelsynth_tpu.train.dpr import (
+    create_dpr_state,
+    make_dpr_eval_step,
+    make_dpr_train_step,
+)
+
+
+class MetricsLogger:
+    """JSONL metrics stream (replaces the reference's tensorboardX scalar
+    streams, train_dpr.py:154-159 -- grep-able, no extra deps)."""
+
+    def __init__(self, workdir: str, name: str):
+        os.makedirs(workdir, exist_ok=True)
+        self.path = os.path.join(workdir, f"{name}_metrics.jsonl")
+
+    def write(self, step: int, metrics: Dict[str, float], **extra):
+        import json
+
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()},
+               **extra, "time": time.time()}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
 
 class PreemptionGuard:
@@ -67,6 +88,15 @@ def make_batch_source(cfg: Config, split: str = "train") -> Callable[[], Dict]:
 
         fn.dataset = ds  # curriculum hook
         return fn
+    if cfg.dataset in ("mp3d", "replica", "habitat"):
+        from pixelsynth_tpu.data.habitat import PreRenderedEpisodes
+
+        gen = PreRenderedEpisodes(cfg.train_data_path, seed=cfg.train.seed)
+
+        def fn():
+            return gen.batch(cfg.train.batch_size)
+
+        return fn
     if cfg.dataset == "custom":
         from pixelsynth_tpu.data.custom import Custom, collate
 
@@ -97,6 +127,8 @@ def run_dpr(
     variables = ps.init_variables(key)
     state, tx_g, tx_d = create_dpr_state(ps, variables)
     step_fn = make_dpr_train_step(ps, tx_g, tx_d)
+    eval_fn = make_dpr_eval_step(ps)
+    logger = MetricsLogger(workdir, "dpr")
 
     ckpt = CheckpointManager(
         os.path.join(workdir, "dpr"), max_to_keep=3,
@@ -135,11 +167,24 @@ def run_dpr(
             if guard.requested:
                 break
         metrics = {k: float(v) for k, v in m.items()}
+
+        # validation pass: best-by-PSNR selection (train_dpr.py:164-218,316-322)
+        val_psnrs = []
+        for _ in range(max(1, cfg.train.val_iters // 10)):
+            vbatch = batch_fn()
+            if mesh is not None:
+                vbatch = shard_batch(vbatch, mesh)
+            rng, sub = jax.random.split(rng)
+            vlosses = eval_fn(state, vbatch, sub)
+            val_psnrs.append(float(vlosses["psnr"]))
+        metrics["psnr"] = float(np.mean(val_psnrs))
+
         log_fn(
             f"epoch {epoch} rot {rot} "
             + " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
             + f" ({time.time() - t0:.1f}s)"
         )
+        logger.write(epoch + 1, metrics, rot=rot)
         ckpt.save(epoch + 1, jax.device_get(state), cfg, metrics)
         if guard.requested:
             log_fn("preemption requested; checkpointed and exiting")

@@ -1,0 +1,36 @@
+"""Fused inference engine must match the Flax PixelCNN exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pixelsynth_tpu.models.lmconv import LMPixelCNN
+from pixelsynth_tpu.models.lmconv_fast import pixelcnn_forward_fast
+from pixelsynth_tpu.ops.orders import custom_order, masks_for_orders_batch
+
+
+def test_fast_forward_matches_flax():
+    B, H, W, NC = 2, 8, 8, 16
+    key = jax.random.PRNGKey(0)
+    model = LMPixelCNN(nr_resnet=2, nr_filters=16, input_channels=NC,
+                       num_classes=NC)
+    rng = np.random.default_rng(0)
+    dist = rng.integers(-10, 10, (B, H, W)).astype(np.int32)
+    order = custom_order(dist)
+    a, b, d = masks_for_orders_batch(list(order), H, W, 3, 2)
+    masks = jnp.asarray(np.stack([a, b, d], 1))
+
+    codes = jnp.asarray(rng.integers(0, NC, (B, H, W)), jnp.int32)
+    filled = jnp.asarray(rng.uniform(size=(B, H, W)) > 0.3, jnp.float32)
+    oh = jax.nn.one_hot(codes, NC) * filled[..., None]
+    vs = model.init({"params": key}, oh, masks[:, 0], masks[:, 1],
+                    masks[:, 2], train=False)
+
+    want = model.apply(vs, oh, masks[:, 0], masks[:, 1], masks[:, 2],
+                       train=False)
+    got = pixelcnn_forward_fast(
+        vs["params"], codes, filled, masks[:, 0], masks[:, 1], masks[:, 2],
+        nr_resnet=2, max_dilation=2, num_classes=NC, compute_dtype="float32",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-4, rtol=1e-3)

@@ -21,15 +21,36 @@ from pixelsynth_tpu.models.layers import ResNetBlock
 def get_resnet_arch(model_type: str, ngf: int = 64) -> Dict:
     """Channel tables (models/networks/configs.py:3-382)."""
     setup = model_type.split("_")[1]
-    if setup in ("256W8UpDown", "256W8UpDownRGB", "256W8UpDown3"):
-        dec_in = {"256W8UpDown": 128, "256W8UpDownRGB": 3, "256W8UpDown3": None}[setup]
+    shallow_enc = [None, ngf // 2, ngf // 2, ngf // 2, ngf, ngf, ngf, ngf, 64]
+    std_dec_tail = [ngf, ngf * 2, ngf * 4, ngf * 4, ngf * 2, ngf * 2, ngf * 2, 3]
+    if setup in ("256W8UpDown", "256W8UpDownRGB", "256W8UpDown3",
+                 "256W8UpDown3SuperRes"):
+        dec_in = {"256W8UpDown": 128, "256W8UpDownRGB": 3,
+                  "256W8UpDown3": None, "256W8UpDown3SuperRes": None}[setup]
         return {
-            "layers_enc": [None, ngf // 2, ngf // 2, ngf // 2, ngf, ngf, ngf, ngf, 64],
+            "layers_enc": list(shallow_enc),
             "downsample": [False] * 8,
             # dec_in None means "input channels" (filled by the caller)
-            "layers_dec": [dec_in, ngf, ngf * 2, ngf * 4, ngf * 4,
-                           ngf * 2, ngf * 2, ngf * 2, 3],
+            "layers_dec": [dec_in] + std_dec_tail,
             "upsample": [False, "Down", "Down", False, "Up", "Up", False, False],
+        }
+    if setup == "256W8UpDown3_ultra":
+        # deeper pyramid: 3 Downs / 3 Ups (configs.py:295-341)
+        return {
+            "layers_enc": list(shallow_enc),
+            "downsample": [False] * 8,
+            "layers_dec": [3] + std_dec_tail,
+            "upsample": ["Down", "Down", "Down", False, "Up", "Up", "Up", False],
+        }
+    if setup == "256W8":
+        # encoder downsamples 2x twice (configs.py:343-381)
+        return {
+            "layers_enc": [None, ngf, ngf, ngf * 2, ngf * 2, ngf * 2,
+                           ngf * 4, ngf * 4, 64],
+            "downsample": [True, False, False, False, True, False, False, False],
+            "layers_dec": [64, ngf, ngf, ngf * 2, ngf * 2, ngf * 2,
+                           ngf * 4, ngf * 4, 3],
+            "upsample": [False, False, "Up", False, False, False, "Up", False],
         }
     raise ValueError(f"unknown arch {model_type}")
 

@@ -127,6 +127,31 @@ def custom_order(
     return out[0] if single else out
 
 
+def hilbert_order(rows: int, cols: int) -> np.ndarray:
+    """Hilbert-curve order for power-of-two square grids (masking.py:38-48)."""
+    assert rows == cols and rows > 0 and (rows & (rows - 1)) == 0
+    # iterative d->(x,y) conversion of the Hilbert curve
+    out = np.empty((rows * cols, 2), np.int64)
+    for d in range(rows * cols):
+        rx = ry = 0
+        x = y = 0
+        t = d
+        s = 1
+        while s < rows:
+            rx = 1 & (t // 2)
+            ry = 1 & (t ^ rx)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            x += s * rx
+            y += s * ry
+            t //= 4
+            s *= 2
+        out[d] = (y, x)  # reference stores (row=coords[1], col=coords[0])
+    return out.astype(np.int32)
+
+
 def generation_order(
     order: str,
     rows: int,
@@ -139,6 +164,18 @@ def generation_order(
         return raster_scan_order(rows, cols)
     if order == "s_curve":
         return s_curve_order(rows, cols)
+    if order == "hilbert":
+        return hilbert_order(rows, cols)
+    if order == "s_curve_center_quarter_last":
+        o = s_curve_order(rows, cols)
+        center = {
+            (r, c)
+            for r in range(rows // 4, rows - rows // 4)
+            for c in range(cols // 4, cols - cols // 4)
+        }
+        keep = [p for p in o.tolist() if tuple(p) not in center]
+        last = [p for p in o.tolist() if tuple(p) in center]
+        return np.array(keep + last, np.int32)
     if order == "custom":
         assert distances is not None
         return custom_order(distances, mass_center)

@@ -11,12 +11,9 @@ truth, utils/opts_helper.py semantics)."""
 
 from __future__ import annotations
 
-import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from pixelsynth_tpu.config import Config

@@ -9,11 +9,11 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
-from pixelsynth_tpu.data.realestate10k import IDENTITY4, _load_image
+from pixelsynth_tpu.data.realestate10k import _load_image
 
 
 def _sorted_pngs(directory: str) -> List[str]:

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Dict, Iterator, Protocol
+from typing import Dict, Protocol
 
 import numpy as np
 

@@ -20,7 +20,7 @@ the pipeline's camera keys.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 

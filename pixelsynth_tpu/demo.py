@@ -19,6 +19,14 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
+# persistent compilation cache: the scene walk reuses one compiled view
+# step, but the first compile is ~50 s -- cache it across CLI invocations
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PIXELSYNTH_CACHE", os.path.expanduser("~/.cache/pixelsynth_tpu")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from pixelsynth_tpu.config import Config
 from pixelsynth_tpu.data.demo_data import demo_cameras, load_demo_image
 from pixelsynth_tpu.eval.harness import save_png

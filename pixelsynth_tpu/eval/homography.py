@@ -8,7 +8,7 @@ overlap; the two warp directions are averaged."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

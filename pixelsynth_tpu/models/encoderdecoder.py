@@ -10,7 +10,7 @@ residual over the input (architectures.py:151-161).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -15,7 +15,7 @@ TPU-native redesigns of the reference's layer zoo:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

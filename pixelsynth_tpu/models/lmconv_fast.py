@@ -16,7 +16,6 @@ checkpoint.  Equivalence is asserted in tests/test_lmconv_fast.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

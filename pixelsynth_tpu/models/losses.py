@@ -17,7 +17,7 @@ metric for smoke tests; parity evals require the ported weights).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ exactly (channel ladder nf, 2nf, 4nf, 8nf, 8nf, ...).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -13,8 +13,6 @@ Mirrors models/vqvae2/vqvae.py:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

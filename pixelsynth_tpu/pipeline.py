@@ -20,13 +20,12 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-from flax.core import FrozenDict
 
 from pixelsynth_tpu.config import Config
 from pixelsynth_tpu.geometry.projection import (

@@ -14,14 +14,12 @@ matrices, carried cloud, and population RNG are data.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pixelsynth_tpu.geometry.cameras import invert_RT
 from pixelsynth_tpu.geometry.paths import get_rt_from_rot, num_split_for_direction
 from pixelsynth_tpu.models.classifier import ResNet18, preprocess_for_classifier
 from pixelsynth_tpu.pipeline import CloudState, PixelSynth

@@ -10,7 +10,6 @@ Usage: python -m pixelsynth_tpu.tools.extract_code \
 from __future__ import annotations
 
 import argparse
-import os
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ import argparse
 import os
 import pickle
 
-import numpy as np
-
 from pixelsynth_tpu.config import Config
 from pixelsynth_tpu.eval.harness import save_png
 from pixelsynth_tpu.train.loop import make_batch_source

@@ -9,7 +9,6 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import jax
-import jax.numpy as jnp
 
 
 def average_params(param_trees: Sequence) -> object:

@@ -16,13 +16,12 @@ collective calls.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from pixelsynth_tpu.config import Config
 from pixelsynth_tpu.models.losses import (
     discriminator_scores,
     hinge_d_loss,

@@ -7,8 +7,6 @@ all of it."""
 
 from __future__ import annotations
 
-from typing import Optional
-
 import optax
 
 

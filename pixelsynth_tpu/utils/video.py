@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import os
 import subprocess
-from typing import Optional
-
 
 def create_video(frames_dir: str, out_path: str, fps: int = 10) -> bool:
     """Assemble <frames_dir>/%d.png into an mp4.  Returns False if ffmpeg

@@ -72,6 +72,8 @@ class LMConvConfig:
     # TPU implementation knobs:
     compute_dtype: str = "bfloat16"   # einsum compute dtype
     sample_backend: str = "pallas"    # masked-conv backend for AR sampling
+    train_backend: str = "xla"        # backend for the differentiable path
+                                      # ("pallas" uses the custom-VJP kernel)
 
 
 @dataclass

@@ -84,12 +84,14 @@ class LMConv(nn.Module):
             )
         if self.backend == "pallas" and mw is None:
             from pixelsynth_tpu.ops.masked_conv_pallas import (
-                locally_masked_conv2d_pallas,
+                locally_masked_conv2d_pallas_vjp,
             )
 
-            return locally_masked_conv2d_pallas(
-                x, mask, weight, bias, dilation=self.dilation,
-                compute_dtype=self.compute_dtype or "bfloat16",
+            # differentiable (custom VJP) pallas path
+            return locally_masked_conv2d_pallas_vjp(
+                x, mask, weight,
+                bias if bias is not None else jnp.zeros((self.features,)),
+                self.dilation, self.compute_dtype or "bfloat16",
             )
         dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         return locally_masked_conv2d(

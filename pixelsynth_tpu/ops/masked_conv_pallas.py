@@ -48,6 +48,82 @@ def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+# ---------------------------------------------------------------------------
+# differentiable wrapper
+# ---------------------------------------------------------------------------
+#
+# Backward math for out[p] = sum_t m_t[p] * (x[p + o_t] @ W_t) + b:
+#   dx[q] = sum_t (m_t * g)[q - o_t] @ W_t^T    -- the same masked-conv
+#           shape with *flipped* taps, transposed weights, and the mask
+#           pre-applied to the cotangent (so the conv itself runs with an
+#           all-ones mask);
+#   dW_t  = x_shift_t^T @ (m_t * g)             -- nine (Cin, HW)x(HW, Cout)
+#           matmuls (cheap, done in XLA);
+#   db    = sum_p g[p].
+# This reproduces the reference's hand-written autograd Function
+# (locally_masked_convolution.py:52-93) against the Pallas forward.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def locally_masked_conv2d_pallas_vjp(x, mask, weight, bias, dilation=1,
+                                     compute_dtype="bfloat16"):
+    return locally_masked_conv2d_pallas(
+        x, mask, weight, bias, dilation=dilation, compute_dtype=compute_dtype
+    )
+
+
+def _lmconv_fwd(x, mask, weight, bias, dilation, compute_dtype):
+    out = locally_masked_conv2d_pallas(
+        x, mask, weight, bias, dilation=dilation, compute_dtype=compute_dtype
+    )
+    return out, (x, mask, weight)
+
+
+def _lmconv_bwd(dilation, compute_dtype, res, g):
+    x, mask, weight = res
+    B, H, W, Cin = x.shape
+    K2, _, Cout = weight.shape
+    k = int(round(K2 ** 0.5))
+    half = k // 2
+    m4 = mask.reshape(B, K2, H, W).transpose(0, 2, 3, 1)      # (B,H,W,k2)
+    mg = g[..., None, :] * m4[..., :, None]                   # (B,H,W,k2,Cout)
+
+    # dx[q] = sum_t (m_t * g)[q - o_t] @ W_t^T -- read each tap's
+    # mask-scaled cotangent at the negated offset
+    pad = half * dilation
+    mgp = jnp.pad(mg, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
+    dx = jnp.zeros((B, H, W, Cin), jnp.float32)
+    for i in range(k):
+        for j in range(k):
+            t = i * k + j
+            dr = (i - half) * dilation
+            dc = (j - half) * dilation
+            sl = jax.lax.dynamic_slice(
+                mgp, (0, pad - dr, pad - dc, t, 0), (B, H, W, 1, Cout)
+            )[:, :, :, 0, :]
+            dx = dx + jnp.einsum("bhwo,co->bhwc", sl, weight[t],
+                                 preferred_element_type=jnp.float32)
+
+    # dW: per-tap correlation of shifted x with the mask-scaled cotangent
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    dW = []
+    for i in range(k):
+        for j in range(k):
+            t = i * k + j
+            dr = (i - half) * dilation
+            dc = (j - half) * dilation
+            xs = jax.lax.dynamic_slice(
+                xp, (0, pad + dr, pad + dc, 0), (B, H, W, Cin))
+            dW.append(jnp.einsum("bhwc,bhwo->co", xs, mg[..., t, :],
+                                 preferred_element_type=jnp.float32))
+    dW = jnp.stack(dW, axis=0)
+    db = jnp.sum(g, axis=(0, 1, 2))
+    return dx, None, dW, db
+
+
+locally_masked_conv2d_pallas_vjp.defvjp(_lmconv_fwd, _lmconv_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("dilation", "compute_dtype"))
 def locally_masked_conv2d_pallas(
     x: jnp.ndarray,

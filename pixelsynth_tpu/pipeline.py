@@ -210,7 +210,11 @@ class PixelSynth:
         )
         # differentiable instance (training) + fast-backend instance
         # (sampling) sharing one parameter tree
-        self.pixelcnn = LMPixelCNN(**pcnn_args)
+        self.pixelcnn = LMPixelCNN(
+            **pcnn_args,
+            compute_dtype=l.compute_dtype if l.train_backend == "pallas" else None,
+            backend=l.train_backend,
+        )
         self.pixelcnn_fast = LMPixelCNN(
             **pcnn_args, compute_dtype=l.compute_dtype,
             backend=l.sample_backend,

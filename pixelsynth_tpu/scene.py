@@ -47,7 +47,12 @@ class SceneGenerator:
         temperature: Optional[float] = None,
         cloud_capacity: int = 4 * 65536,
         classifier_vars: Optional[Dict] = None,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh -- the candidate population is
+        then sharded over the mesh's data axis, so every chip advances its
+        slice of the samples in the same loop (the BASELINE "one sharded
+        sampling loop"; num_samples should be a multiple of the axis size)."""
         self.ps = ps
         self.variables = variables
         sc = ps.cfg.sample
@@ -56,7 +61,18 @@ class SceneGenerator:
         self.cloud_capacity = cloud_capacity
         self.classifier = ResNet18()
         self.classifier_vars = classifier_vars
+        self.mesh = mesh
         self._view_step = jax.jit(self._view_step_impl)
+
+    def _shard_population(self, x):
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(self.mesh.axis_names[0], *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec)
+        )
 
     # -- jitted single-view step ------------------------------------------
 
@@ -72,12 +88,13 @@ class SceneGenerator:
         order, masks, bg_ds = ps.masks_for_background(bg)
         codes, _ = ps.vq_encode(variables["vqvae"], gen_fs)
 
-        # ---- population sampling: all S candidates at once ----
+        # ---- population sampling: all S candidates at once, sharded over
+        # the mesh data axis when one is attached ----
         nc = ps.cfg.model.lmconv.num_classes
-        codes_s = _tile(codes, S)
-        masks_s = _tile(masks, S)
-        order_s = _tile(order, S)
-        bg_ds_s = _tile(bg_ds, S)
+        codes_s = self._shard_population(_tile(codes, S))
+        masks_s = self._shard_population(_tile(masks, S))
+        order_s = self._shard_population(_tile(order, S))
+        bg_ds_s = self._shard_population(_tile(bg_ds, S))
 
         def logits_fn(cur_codes, filled):
             return ps.pixelcnn_logits_codes(

@@ -63,3 +63,43 @@ def test_shard_batch_layout():
     assert xs.sharding.spec == P("data", None)
     r = replicate({"w": np.ones(3)}, mesh)
     assert r["w"].sharding.spec == P()
+
+
+def test_scene_view_with_mesh_sharded_population():
+    """SceneGenerator with a mesh: the 8-candidate population shards over
+    the data axis inside the compiled view step."""
+    from pixelsynth_tpu.config import Config
+    from pixelsynth_tpu.pipeline import CloudState, PixelSynth
+    from pixelsynth_tpu.scene import SceneGenerator
+
+    cfg = Config()
+    W = 64
+    cfg.model.W = W
+    cfg.model.unet_num_filters = 4
+    cfg.model.ngf = 8
+    cfg.model.ndf = 8
+    cfg.model.vqvae.channel = 16
+    cfg.model.vqvae.n_res_channel = 8
+    cfg.model.lmconv.nr_filters = 16
+    cfg.model.lmconv.obs = (3, W // 8, W // 8)
+    cfg.model.splat.max_points_per_tile = 1024
+    cfg.model.splat.tile_group = 4
+    ps = PixelSynth(cfg)
+    vs = ps.init_variables(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    gen = SceneGenerator(ps, vs, num_samples=8, temperature=0.7,
+                         cloud_capacity=W * W, mesh=mesh)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, W, W, 3)) * 2 - 1
+    I = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    from pixelsynth_tpu.geometry.paths import get_rt_from_rot
+
+    RTinv, RT = get_rt_from_rot("R", I, 2, 2)
+    cams = {"K": I, "Kinv": I, "P_in": I, "Pinv_in": I, "P_out": RT}
+    with mesh:
+        best, out = gen.generate_view(
+            img, cams, CloudState.empty(1, W * W, 3), None, I,
+            jax.random.PRNGKey(2),
+        )
+    assert np.asarray(best).shape == (1, W, W, 3)
+    assert np.isfinite(np.asarray(out["gen_imgs"])).all()
+    assert out["gen_imgs"].shape[0] == 8

@@ -79,3 +79,21 @@ def test_nerf_circle_path():
     for M in rts:
         np.testing.assert_allclose(M[:3, :3], np.eye(3))
     assert np.abs(np.stack(rts)[:, :3, 3]).max() > 0.1
+
+
+def test_inception_features():
+    from pixelsynth_tpu.eval.inception import (
+        InceptionV3Features,
+        make_fid_feature_fn,
+    )
+
+    net = InceptionV3Features()
+    x = jnp.zeros((1, 299, 299, 3))
+    vs = net.init({"params": jax.random.PRNGKey(0)}, x)
+    out = net.apply(vs, x)
+    assert out.shape == (1, 2048)
+    # parameter count matches the torchvision inception_v3 conv stack
+    n = sum(p.size for p in jax.tree.leaves(vs["params"]))
+    assert abs(n - 21_789_000) < 20_000, n
+    fn = make_fid_feature_fn(vs)
+    assert fn(jnp.zeros((2, 32, 32, 3))).shape == (2, 2048)

@@ -69,16 +69,16 @@ def main():
                                masks_p[:, 2], codes=cur_codes, filled=filled,
                                train=False)
 
+        # return a scalar so timing forces a real device round trip
+        # (block_until_ready is unreliable under remote platforms)
         f = jax.jit(
             lambda k: ar_sample(logits_fn, codes_p, order_p, bg_p, k,
-                                num_classes=NC, temperature=0.7)
+                                num_classes=NC, temperature=0.7).sum()
         )
-        out = f(key)
-        jax.block_until_ready(out)  # compile
+        int(f(key))  # compile
         t0 = time.perf_counter()
         for i in range(n_loops):
-            out = f(jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+            int(f(jax.random.fold_in(key, i)))
         dt = (time.perf_counter() - t0) / n_loops
         return dt  # seconds per full view fill (N_BG steps) for `pop` candidates
 

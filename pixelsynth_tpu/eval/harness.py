@@ -41,36 +41,47 @@ def eval_quality(
     temperature: float = 0.5,
     limit: Optional[int] = None,
     start: int = 0,
+    batch_size: int = 1,
     rng: Optional[jax.Array] = None,
 ) -> None:
     """gen_paired_img over a paired dataset; saves input/ tgt/ pred/ fs/
-    PNG folders (eval_quality.py:112-154).  `start`/`limit` give the
-    index-range sharding the reference docs recommend doing manually
-    across GPUs (docs/REALESTATE.md:74) -- here one range per host."""
+    PNG folders (eval_quality.py:112-154).
+
+    `start`/`limit` give the index-range sharding the reference docs
+    recommend doing manually across GPUs (docs/REALESTATE.md:74).
+    `batch_size` batches ITEMS through the sampling population (item-major
+    B x num_samples candidates in one loop) -- the reference evaluates one
+    image at a time; on TPU batching items amortizes the AR loop across
+    the whole eval set."""
     gen = SceneGenerator(ps, variables, num_samples=num_samples,
                          temperature=temperature,
                          cloud_capacity=ps.W * ps.W)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     n = len(dataset) if limit is None else min(start + limit, len(dataset))
-    for i in range(start, n):
-        item = dataset[i]
-        batch = {k: np.asarray(v)[None] for k, v in item.items()}
+    for i0 in range(start, n, batch_size):
+        idxs = list(range(i0, min(i0 + batch_size, n)))
+        # keep shapes static: pad the tail batch by repeating the last item
+        padded = idxs + [idxs[-1]] * (batch_size - len(idxs))
+        items = [dataset[j] for j in padded]
+        batch = {k: np.stack([np.asarray(it[k]) for it in items])
+                 for k in items[0] if k != "direction"}
         cams = {"K": batch["K"], "Kinv": batch["Kinv"],
                 "P_in": batch["P_in"], "Pinv_in": batch["Pinv_in"],
                 "P_out": batch["P_out"]}
-        cloud = CloudState.empty(1, ps.W * ps.W, 3)
+        cloud = CloudState.empty(batch_size, ps.W * ps.W, 3)
         rng, sub = jax.random.split(rng)
         best_img, out = gen.generate_view(
             batch["input_img"], cams, cloud, None, batch["Pinv_in"], sub
         )
-        save_png(os.path.join(out_dir, "input", f"{i:04d}.png"),
-                 batch["input_img"][0])
-        save_png(os.path.join(out_dir, "tgt", f"{i:04d}.png"),
-                 batch["output_img"][0])
-        save_png(os.path.join(out_dir, "pred", f"{i:04d}.png"),
-                 np.asarray(best_img[0]))
-        save_png(os.path.join(out_dir, "fs", f"{i:04d}.png"),
-                 np.asarray(out["gen_fs"][0]))
+        best_np = np.asarray(best_img)
+        fs_np = np.asarray(out["gen_fs"])
+        for b, i in enumerate(idxs):
+            save_png(os.path.join(out_dir, "input", f"{i:04d}.png"),
+                     batch["input_img"][b])
+            save_png(os.path.join(out_dir, "tgt", f"{i:04d}.png"),
+                     batch["output_img"][b])
+            save_png(os.path.join(out_dir, "pred", f"{i:04d}.png"), best_np[b])
+            save_png(os.path.join(out_dir, "fs", f"{i:04d}.png"), fs_np[b])
 
 
 def eval_consistency(

@@ -117,7 +117,7 @@ class SceneGenerator:
         def disc_apply(x, train=False):
             return ps.disc.apply(variables["disc"], x, train=False)
 
-        d_scores = d_fake_score(disc_apply, gen_imgs, img)
+        d_scores = d_fake_score(disc_apply, gen_imgs, _tile(img, S))
         if classifier_vars is not None:
             logits = self.classifier.apply(
                 classifier_vars, preprocess_for_classifier(gen_imgs * 0.5 + 0.5)
@@ -139,14 +139,21 @@ class SceneGenerator:
     # -- host-side walk ----------------------------------------------------
 
     def generate_view(self, img, cams, cloud, last_bg, RTinv_last, rng):
+        """One outpainted view for a batch of B items: the population is
+        B*S candidates (item-major); the per-item best is rank-selected
+        (z_buffermodel.py:264-276).  Returns ((B, W, W, 3) best images,
+        raw step outputs)."""
+        B = img.shape[0]
+        S = self.num_samples
         out = self._view_step(
             self.variables, self.classifier_vars, img, cams, cloud,
             last_bg, RTinv_last, rng,
         )
-        best = rank_candidates(
-            np.asarray(out["d_scores"]), np.asarray(out["entropy"])
-        )
-        best_img = out["gen_imgs"][best: best + 1]
+        d = np.asarray(out["d_scores"]).reshape(B, S)
+        e = np.asarray(out["entropy"]).reshape(B, S)
+        best = np.array([rank_candidates(d[b], e[b]) for b in range(B)])
+        idx = np.arange(B) * S + best
+        best_img = out["gen_imgs"][jnp.asarray(idx)]
         return best_img, out
 
     def generate_scene(

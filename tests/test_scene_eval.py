@@ -142,3 +142,29 @@ def test_demo_save_layout(tmp_path):
     assert os.path.exists(tmp_path / "scene" / "output_image_R_0001.png")
     video_dir = save_video_frames(outputs, cfg, str(tmp_path))
     assert os.path.exists(os.path.join(video_dir, "0.png"))
+
+
+def test_eval_quality_batched_items(gen, tmp_path):
+    """Item batching through the population produces per-item outputs."""
+    from pixelsynth_tpu.eval.harness import eval_quality
+
+    W = gen.ps.W
+    rng = np.random.default_rng(7)
+
+    class FakeDS:
+        def __len__(self):
+            return 3  # odd size exercises tail padding
+
+        def __getitem__(self, i):
+            I = np.eye(4, dtype=np.float32)
+            img = rng.uniform(-1, 1, (W, W, 3)).astype(np.float32)
+            return {"input_img": img, "output_img": img,
+                    "K": I, "Kinv": I, "P_in": I, "Pinv_in": I,
+                    "P_out": I, "Pinv_out": I}
+
+    out_dir = str(tmp_path / "eval_b")
+    eval_quality(gen.ps, gen.variables, FakeDS(), out_dir,
+                 num_samples=2, batch_size=2)
+    for sub in ("input", "tgt", "pred", "fs"):
+        assert sorted(os.listdir(os.path.join(out_dir, sub))) == [
+            "0000.png", "0001.png", "0002.png"]

@@ -136,6 +136,10 @@ class TrainConfig:
     curriculum_every: int = 50
     curriculum_step: int = 10
     curriculum_max: int = 50
+    # GAN learning-rate decay (discriminators.update_learning_rate:
+    # linear decay from lr to 0 over niter_decay epochs after niter)
+    niter: Optional[int] = None
+    niter_decay: int = 100
 
     @property
     def lr_g(self) -> float:

@@ -35,6 +35,29 @@ from pixelsynth_tpu.pipeline import CloudState, PixelSynth
 from pixelsynth_tpu.scene import SceneGenerator, video_frame_order
 
 
+def load_ported_weights(variables: Dict, weights_dir: Optional[str]):
+    """Load converted torchvision/Places365 weights when available
+    (tools/export_torch_weights.py output).  Returns (variables,
+    classifier_vars or None)."""
+    classifier_vars = None
+    weights_dir = weights_dir or os.environ.get("PIXELSYNTH_WEIGHTS")
+    if not weights_dir:
+        return variables, classifier_vars
+    vgg_path = os.path.join(weights_dir, "vgg19_features.npz")
+    if os.path.exists(vgg_path):
+        from pixelsynth_tpu.models.losses import load_torch_vgg19
+
+        variables = {**variables, "vgg": load_torch_vgg19(vgg_path)}
+        print(f"loaded VGG19 weights from {vgg_path}")
+    cls_path = os.path.join(weights_dir, "resnet18_places365.npz")
+    if os.path.exists(cls_path):
+        from pixelsynth_tpu.models.classifier import load_torch_resnet18
+
+        classifier_vars = load_torch_resnet18(cls_path)
+        print(f"loaded Places365 classifier from {cls_path}")
+    return variables, classifier_vars
+
+
 def load_model(ckpt_dir: Optional[str], cfg: Optional[Config] = None):
     """Build PixelSynth + variables; restores a DPR checkpoint's config and
     generator trees when available (the reference stitches DPR + vqvae +
@@ -97,12 +120,16 @@ def main(argv=None):
     ap.add_argument("--temperature", type=float, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fps", type=int, default=10)
+    ap.add_argument("--weights-dir", default=None,
+                    help="dir with converted eval-net npz weights "
+                         "(vgg19_features.npz, resnet18_places365.npz)")
     args = ap.parse_args(argv)
 
     if not os.path.exists(args.img):
         raise SystemExit(f"error: input image not found: {args.img}")
 
     ps, variables = load_model(args.ckpt_dir)
+    variables, classifier_vars = load_ported_weights(variables, args.weights_dir)
     cfg = ps.cfg
     if args.num_split is not None:
         cfg.sample.num_split = args.num_split
@@ -112,6 +139,7 @@ def main(argv=None):
     gen = SceneGenerator(
         ps, variables,
         num_samples=args.num_samples, temperature=args.temperature,
+        classifier_vars=classifier_vars,
     )
     rng = jax.random.PRNGKey(args.seed)
 

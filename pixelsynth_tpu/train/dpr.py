@@ -68,11 +68,27 @@ def _merge_updates(tree_of_vars: Dict, updates: Dict) -> Dict:
     return out
 
 
-def create_dpr_state(ps: PixelSynth, variables: Dict) -> Tuple[DPRTrainState, Any, Any]:
+def create_dpr_state(
+    ps: PixelSynth, variables: Dict, *, steps_per_epoch: int = 500
+) -> Tuple[DPRTrainState, Any, Any]:
     cfg = ps.cfg.train
     gen, disc, frozen = split_gen_vars(variables)
-    tx_g = optax.adam(cfg.lr_g, b1=cfg.beta1, b2=cfg.beta2)
-    tx_d = optax.adam(cfg.lr_d, b1=cfg.beta1, b2=cfg.beta2)
+    if cfg.niter is not None:
+        # linear decay to 0 over niter_decay epochs after niter epochs
+        # (discriminators.py update_learning_rate; G keeps lr/2, D lr*2)
+        def sched(peak):
+            return optax.schedules.join_schedules(
+                [optax.constant_schedule(peak),
+                 optax.linear_schedule(peak, 0.0,
+                                       cfg.niter_decay * steps_per_epoch)],
+                [cfg.niter * steps_per_epoch],
+            )
+
+        tx_g = optax.adam(sched(cfg.lr_g), b1=cfg.beta1, b2=cfg.beta2)
+        tx_d = optax.adam(sched(cfg.lr_d), b1=cfg.beta1, b2=cfg.beta2)
+    else:
+        tx_g = optax.adam(cfg.lr_g, b1=cfg.beta1, b2=cfg.beta2)
+        tx_d = optax.adam(cfg.lr_d, b1=cfg.beta1, b2=cfg.beta2)
     if cfg.num_accumulations > 1:
         # microbatch gradient accumulation (base_model.py:92-129 semantics)
         tx_g = optax.MultiSteps(tx_g, cfg.num_accumulations)

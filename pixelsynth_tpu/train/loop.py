@@ -240,6 +240,76 @@ def run_vqvae(
     return metrics
 
 
+def lmconv_sample_preview(
+    cfg: Config,
+    lm_variables: Dict,
+    vq_variables: Optional[Dict],
+    codes: np.ndarray,
+    order: np.ndarray,
+    out_path: str,
+    *,
+    frac: float = 0.6,
+    temperature: float = 1.0,
+    rng=None,
+):
+    """Periodic inpainting preview (train_lmconv.py:812-834): keep the
+    first `frac` of each image's generation order, resample the rest, and
+    write a decoded grid PNG (raw code indices as grayscale when no VQ-VAE
+    is supplied)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixelsynth_tpu.eval.harness import save_png
+    from pixelsynth_tpu.models.lmconv import LMPixelCNN
+    from pixelsynth_tpu.ops.orders import masks_for_orders_batch
+    from pixelsynth_tpu.ops.orders_jax import rank_from_flat_order
+    from pixelsynth_tpu.sampling import ar_sample
+
+    l = cfg.model.lmconv
+    rows, cols = l.obs[1], l.obs[2]
+    B = codes.shape[0]
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    model = LMPixelCNN(
+        nr_resnet=l.nr_resnet, nr_filters=l.nr_filters,
+        input_channels=l.input_channels, kernel_size=l.kernel_size,
+        max_dilation=l.max_dilation, feature_norm=l.feature_norm,
+        num_classes=l.num_classes, compute_dtype=l.compute_dtype,
+        backend=l.sample_backend,
+    )
+    a, b, d = masks_for_orders_batch(list(order), rows, cols,
+                                     l.kernel_size, l.max_dilation)
+    masks = jnp.asarray(np.stack([a, b, d], 1))
+    # "background" = the last (1-frac) of the order
+    cut = int(frac * rows * cols)
+    flat = order[:, :, 0] * cols + order[:, :, 1]
+    rank = np.asarray(rank_from_flat_order(jnp.asarray(flat)[:, :], rows * cols))
+    bg = (rank >= cut).astype(np.float32).reshape(B, rows, cols)
+
+    def logits_fn(c, f):
+        return model.apply(lm_variables, None, masks[:, 0], masks[:, 1],
+                           masks[:, 2], codes=c, filled=f, train=False)
+
+    sampled = ar_sample(logits_fn, jnp.asarray(codes, jnp.int32),
+                        jnp.asarray(order), jnp.asarray(bg), rng,
+                        num_classes=l.num_classes, temperature=temperature)
+    if vq_variables is not None:
+        from pixelsynth_tpu.models.vqvae import VQVAETop
+
+        v = cfg.model.vqvae
+        vq = VQVAETop(in_channel=v.in_channel, channel=v.channel,
+                      n_res_block=v.n_res_block, n_res_channel=v.n_res_channel,
+                      embed_dim=v.embed_dim, n_embed=v.n_embed)
+        imgs = np.asarray(vq.apply(vq_variables, sampled,
+                                   method=vq.decode_code))
+        grid = np.concatenate(list(imgs), axis=1)  # side-by-side strip
+        save_png(out_path, grid)
+    else:
+        gray = np.asarray(sampled, np.float32) / (l.num_classes - 1)
+        grid = np.concatenate(list(gray), axis=1)
+        save_png(out_path, np.stack([grid] * 3, -1))
+    return np.asarray(sampled)
+
+
 def run_lmconv(
     cfg: Config, workdir: str, *, epochs: int = 1, iters_per_epoch: int = 100,
     codes_path: Optional[str] = None, orders_path: Optional[str] = None,

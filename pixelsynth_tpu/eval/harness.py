@@ -94,29 +94,36 @@ def eval_consistency(
     temperature: float = 0.5,
     limit: Optional[int] = None,
     start: int = 0,
+    batch_size: int = 1,
     rng: Optional[jax.Array] = None,
 ) -> None:
     """gen_two_imgs per item: full + half rotation of the item's fixed
     consistency direction, saved as output_image_<dir>_0001/0002.png
-    (eval_consistency.py:101-149)."""
-    gen = SceneGenerator(ps, variables, num_samples=num_samples,
-                         temperature=temperature,
-                         cloud_capacity=2 * ps.W * ps.W)
+    (eval_consistency.py:101-149).  Items batch through the sampling
+    population with per-item directions (the reference loops items)."""
+    from pixelsynth_tpu.scene import TwoImageGenerator
+
+    gen = TwoImageGenerator(ps, variables, num_samples=num_samples,
+                            temperature=temperature,
+                            cloud_capacity=2 * ps.W * ps.W)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     n = len(dataset) if limit is None else min(start + limit, len(dataset))
-    for i in range(start, n):
-        item = dataset[i]
-        direction = DIRECTION_ORDER[int(item["direction"])]
-        batch = {k: np.asarray(v)[None] for k, v in item.items()
-                 if k != "direction"}
+    for i0 in range(start, n, batch_size):
+        idxs = list(range(i0, min(i0 + batch_size, n)))
+        padded = idxs + [idxs[-1]] * (batch_size - len(idxs))
+        items = [dataset[j] for j in padded]
+        directions = [DIRECTION_ORDER[int(it["direction"])] for it in items]
+        batch = {k: np.stack([np.asarray(it[k]) for it in items])
+                 for k in items[0] if k != "direction"}
         rng, sub = jax.random.split(rng)
-        outputs = gen.generate_scene(
+        outputs = gen.generate_two_imgs(
             batch["input_img"], batch["K"], batch["Kinv"],
-            batch["P_in"], batch["Pinv_in"],
-            directions=[direction], rng=sub, two_imgs=True,
+            batch["P_in"], batch["Pinv_in"], directions, rng=sub,
         )
-        img_dir = os.path.join(out_dir, f"{i:04d}")
-        save_png(os.path.join(img_dir, f"output_image_{direction}_0002.png"),
-                 outputs[f"PredImg_{direction}_2"][0])
-        save_png(os.path.join(img_dir, f"output_image_{direction}_0001.png"),
-                 outputs[f"PredImg_{direction}_1"][0])
+        for b, i in enumerate(idxs):
+            d = directions[b]
+            img_dir = os.path.join(out_dir, f"{i:04d}")
+            save_png(os.path.join(img_dir, f"output_image_{d}_0002.png"),
+                     outputs["PredImg_2"][b])
+            save_png(os.path.join(img_dir, f"output_image_{d}_0001.png"),
+                     outputs["PredImg_1"][b])

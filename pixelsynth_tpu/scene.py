@@ -244,6 +244,60 @@ class SceneGenerator:
         return outputs
 
 
+def batch_rt_from_rot(directions: List[str], input_RT, num, denom):
+    """Per-item camera paths: stack get_rt_from_rot over a batch whose
+    direction differs per item (the consistency eval's per-index fixed
+    directions, eval_consistency.py:101-149)."""
+    import jax.numpy as jnp
+
+    invs, rts = [], []
+    for b, d in enumerate(directions):
+        inv, rt = get_rt_from_rot(d, input_RT[b], num, denom)
+        invs.append(inv)
+        rts.append(rt)
+    return jnp.stack(invs), jnp.stack(rts)
+
+
+class TwoImageGenerator(SceneGenerator):
+    """Batched gen_two_imgs: full + half rotation per item, each item with
+    its own consistency direction -- the whole item batch advances through
+    one sampling population per view (the reference renders one item at a
+    time, forward_scene with num_split=2, z_buffermodel.py:425-453)."""
+
+    def generate_two_imgs(self, img, K, Kinv, P_in, Pinv_in, directions,
+                          rng=None):
+        """img: (B, W, W, 3); directions: list[str] of length B.
+        Returns {"PredImg_2": full-rotation views, "PredImg_1": half}."""
+        import jax
+
+        ps = self.ps
+        B = img.shape[0]
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        cloud = CloudState.empty(B, self.cloud_capacity, img.shape[-1])
+
+        outputs = {}
+        current_img = img
+        last_bg = None
+        RTinv_last = Pinv_in
+        cin, cin_inv = P_in, Pinv_in
+        last_numerator = None
+        for numerator in (2, 1, 0):
+            cout_inv, cout = batch_rt_from_rot(directions, P_in, numerator, 2)
+            cams = {"K": K, "Kinv": Kinv, "P_in": cin, "Pinv_in": cin_inv,
+                    "P_out": cout}
+            rng, sub = jax.random.split(rng)
+            best_img, out = self.generate_view(
+                current_img, cams, cloud, last_bg, RTinv_last, sub
+            )
+            outputs[f"PredImg_{numerator}"] = np.asarray(best_img)
+            current_img = best_img
+            cloud = out["cloud"]
+            last_bg = out["bg"]
+            RTinv_last = cout_inv
+            cin_inv, cin = cout_inv, cout
+        return outputs
+
+
 def video_frame_order(num_split: int) -> List[Tuple[str, int]]:
     """Frame sequence of the demo video (demo.py:128-164):
     R 0, then for each of R L C C S S: ascending 1..n-1, and for

@@ -168,3 +168,33 @@ def test_eval_quality_batched_items(gen, tmp_path):
     for sub in ("input", "tgt", "pred", "fs"):
         assert sorted(os.listdir(os.path.join(out_dir, sub))) == [
             "0000.png", "0001.png", "0002.png"]
+
+
+def test_eval_consistency_batched(gen, tmp_path):
+    from pixelsynth_tpu.eval.harness import eval_consistency
+
+    W = gen.ps.W
+    rng = np.random.default_rng(9)
+
+    class FakeDS:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            I = np.eye(4, dtype=np.float32)
+            img = rng.uniform(-1, 1, (W, W, 3)).astype(np.float32)
+            return {"input_img": img, "output_img": img,
+                    "K": I, "Kinv": I, "P_in": I, "Pinv_in": I,
+                    "P_out": I, "Pinv_out": I, "direction": np.int32(i % 8)}
+
+    out_dir = str(tmp_path / "cons")
+    eval_consistency(gen.ps, gen.variables, FakeDS(), out_dir,
+                     num_samples=2, batch_size=2)
+    from pixelsynth_tpu.geometry.paths import DIRECTION_ORDER
+
+    for i in range(3):
+        d = DIRECTION_ORDER[i % 8]
+        assert os.path.exists(
+            os.path.join(out_dir, f"{i:04d}", f"output_image_{d}_0001.png"))
+        assert os.path.exists(
+            os.path.join(out_dir, f"{i:04d}", f"output_image_{d}_0002.png"))

@@ -22,3 +22,20 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "Config":
+        from pixelsynth_tpu.config import Config
+
+        return Config
+    if name == "PixelSynth":
+        from pixelsynth_tpu.pipeline import PixelSynth
+
+        return PixelSynth
+    if name == "SceneGenerator":
+        from pixelsynth_tpu.scene import SceneGenerator
+
+        return SceneGenerator
+    raise AttributeError(name)

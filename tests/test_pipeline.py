@@ -123,3 +123,16 @@ def test_cloud_transform_identity():
     I = jnp.eye(4)[None]
     out = cs.transform(I, I, I)
     np.testing.assert_allclose(out.pts, cs.pts, atol=1e-6)
+
+
+def test_inverse_depth_parameterization():
+    """use_inverse_depth: depth = 1/(sigmoid*10 + .01) (z_buffermodel.py:310-314)."""
+    cfg = tiny_config()
+    cfg.model.use_inverse_depth = True
+    ps = PixelSynth(cfg)
+    vs = ps.init_variables(jax.random.PRNGKey(0), with_disc=False)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, ps.W, ps.W, 3)) * 2 - 1
+    depth, _ = ps.regress_depth(vs["unet"], img)
+    d = np.asarray(depth)
+    assert d.min() >= 1.0 / 10.01 - 1e-5
+    assert d.max() <= 1.0 / 0.01 + 1e-3

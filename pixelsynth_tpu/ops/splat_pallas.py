@@ -185,12 +185,62 @@ def _splat_pallas_impl(points, feats, valid, *, W, radius, pp_pixel, tau,
 
 
 def splat_pallas(points, feats, valid, *, W, cfg: SplatConfig):
-    """Drop-in for ops.splat.splat with cfg.use_pallas (same signature)."""
-    return _splat_pallas_impl(
-        points, feats, valid,
-        W=W, radius=cfg.radius, pp_pixel=cfg.pp_pixel, tau=cfg.tau,
-        rad_pow=cfg.rad_pow, accumulation=cfg.accumulation,
-        bg_ksize=cfg.background_smoothing_kernel_size,
-        tile_size=cfg.tile_size,
-        max_points_per_tile=cfg.max_points_per_tile,
+    """Drop-in for ops.splat.splat with cfg.use_pallas (same signature),
+    differentiable: the forward runs the Pallas blend; the backward is the
+    VJP of the equivalent XLA formulation (recomputed -- the same
+    rematerialization trade the reference's hand-written conv backward
+    makes, locally_masked_convolution.py:74-81), so gradients to point xy
+    and features flow exactly as in ops.splat."""
+    key = (W, cfg.radius, cfg.pp_pixel, cfg.tau, cfg.rad_pow,
+           cfg.accumulation, cfg.background_smoothing_kernel_size,
+           cfg.tile_size, cfg.max_points_per_tile, cfg.tile_group)
+    return _splat_pallas_diff(key)(points, feats, valid)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _splat_pallas_diff(key):
+    (W, radius, pp_pixel, tau, rad_pow, accumulation, bg_ksize, tile_size,
+     max_points_per_tile, tile_group) = key
+    cfg = SplatConfig(
+        radius=radius, pp_pixel=pp_pixel, tau=tau, rad_pow=rad_pow,
+        accumulation=accumulation, background_smoothing_kernel_size=bg_ksize,
+        tile_size=tile_size, max_points_per_tile=max_points_per_tile,
+        tile_group=tile_group,
     )
+
+    @jax.custom_vjp
+    def f(points, feats, valid):
+        return _splat_pallas_impl(
+            points, feats, valid, W=W, radius=radius, pp_pixel=pp_pixel,
+            tau=tau, rad_pow=rad_pow, accumulation=accumulation,
+            bg_ksize=bg_ksize, tile_size=tile_size,
+            max_points_per_tile=max_points_per_tile,
+        )
+
+    def fwd(points, feats, valid):
+        return f(points, feats, valid), (points, feats, valid)
+
+    def bwd(res, g):
+        from pixelsynth_tpu.ops.splat import _splat_impl
+
+        points, feats, valid = res
+        g_out, _ = g  # background mask is boolean (no cotangent)
+
+        def xla_fwd(p, ft):
+            out, _ = _splat_impl(
+                p, ft, valid, W=W, radius=radius, pp_pixel=pp_pixel, tau=tau,
+                rad_pow=rad_pow, accumulation=accumulation, bg_ksize=bg_ksize,
+                tile_size=tile_size, max_points_per_tile=max_points_per_tile,
+                tile_group=tile_group,
+            )
+            return out
+
+        _, vjp_fn = jax.vjp(xla_fwd, points, feats)
+        dp, df = vjp_fn(g_out)
+        return dp, df, None
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -47,3 +47,33 @@ def test_splat_pallas_k_cap():
                        tile_size=16, background_smoothing_kernel_size=1)
     out2, _ = splat_pallas(pts, feats, valid, W=W, cfg=cfg2)
     assert float(out2[0, 16, 16, 0]) > float(out[0, 16, 16, 0]) + 0.5
+
+
+def test_splat_pallas_gradients():
+    """The pallas-forward splat is differentiable (backward = XLA VJP)."""
+    import jax
+
+    rng = np.random.default_rng(2)
+    W, B, N, C = 32, 1, 64, 2
+    cfg = SplatConfig(max_points_per_tile=128, tile_size=16,
+                      background_smoothing_kernel_size=1)
+    pts = jnp.asarray(np.stack([
+        rng.uniform(0, W, (B, N)), rng.uniform(0, W, (B, N)),
+        rng.uniform(0.5, 10, (B, N))], -1), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    valid = jnp.ones((B, N), bool)
+
+    def loss_p(p, f):
+        out, _ = splat_pallas(p, f, valid, W=W, cfg=cfg)
+        return jnp.sum(out ** 2)
+
+    def loss_x(p, f):
+        out, _ = splat(p, f, valid, W=W, cfg=cfg)
+        return jnp.sum(out ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(pts, feats)
+    gx = jax.grad(loss_x, argnums=(0, 1))(pts, feats)
+    np.testing.assert_allclose(np.asarray(gp[0][..., :2]),
+                               np.asarray(gx[0][..., :2]), atol=1e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
+                               atol=1e-3, rtol=1e-2)

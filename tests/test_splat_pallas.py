@@ -77,3 +77,34 @@ def test_splat_pallas_gradients():
                                np.asarray(gx[0][..., :2]), atol=1e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]),
                                atol=1e-3, rtol=1e-2)
+
+
+def test_use_pallas_flag_through_pipeline():
+    """SplatConfig.use_pallas routes pipeline splats through the kernel."""
+    import jax
+    from pixelsynth_tpu.config import Config
+    from pixelsynth_tpu.pipeline import PixelSynth
+
+    cfg = Config()
+    W = 32
+    cfg.model.W = W
+    cfg.model.unet_num_filters = 4
+    cfg.model.ngf = 8
+    cfg.model.lmconv.obs = (3, 4, 4)
+    cfg.model.splat.max_points_per_tile = 256
+    cfg.model.splat.tile_group = 4
+    ps_x = PixelSynth(cfg)
+    vs = ps_x.init_variables(jax.random.PRNGKey(0), with_disc=False)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, W, W, 3)) * 2 - 1
+    I = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    cams = {"K": I, "Kinv": I, "P_in": I, "Pinv_in": I, "P_out": I}
+    depth, _ = ps_x.regress_depth(vs["unet"], img)
+    fs_x, bg_x, _ = ps_x.splat_view(img, depth, cams)
+
+    cfg_p = Config.from_dict(cfg.to_dict())
+    cfg_p.model.splat.use_pallas = True
+    ps_p = PixelSynth(cfg_p)
+    fs_p, bg_p, _ = ps_p.splat_view(img, depth, cams)
+    np.testing.assert_allclose(np.asarray(fs_p), np.asarray(fs_x),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(bg_p), np.asarray(bg_x))

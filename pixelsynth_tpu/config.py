@@ -69,6 +69,11 @@ class LMConvConfig:
     weight_norm: bool = False
     num_classes: int = 512
     obs: Tuple[int, int, int] = (3, 32, 32)  # (C, rows, cols) of the code grid
+    # distance transform driving the generation order: "exact" (true L2) or
+    # "chamfer" (cv2 maskSize=5-compatible -- use with reference-trained
+    # weights, whose orders were built under the chamfer approximation,
+    # z_buffermodel.py:672-674)
+    dt_mode: str = "exact"
     # TPU implementation knobs:
     compute_dtype: str = "bfloat16"   # einsum compute dtype
     sample_backend: str = "pallas"    # masked-conv backend for AR sampling

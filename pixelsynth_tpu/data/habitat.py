@@ -6,11 +6,12 @@ external C++ simulator, behind 5 worker processes
 Rebuilding a simulator is out of scope (SURVEY.md section 2.1); the
 TPU-native treatment keeps habitat as an *external host-side data source*:
 
-  * `PreRenderedEpisodes` consumes shards exported by a habitat-sim
-    process (run `tools/export_habitat_shards.py` -- reproduced below --
-    in any environment with habitat installed) with the same sampling
-    semantics: random navigable viewpoint + quaternion-jittered second
-    view within max_rotation degrees;
+  * `PreRenderedEpisodes` consumes shards exported by
+    `pixelsynth_tpu/tools/export_habitat_shards.py` (run it in any
+    environment with habitat installed; `--synthetic` writes fixture
+    shards without a simulator) with the same sampling semantics:
+    random navigable viewpoint + quaternion-jittered second view within
+    max_rotation degrees;
   * `HabitatGeneratorProtocol` documents the callable interface a live
     simulator bridge must satisfy to plug into train.loop.make_batch_source.
 

@@ -98,11 +98,19 @@ class RealEstate10K:
         path = os.path.join(self.base, "frames", self.dataset, f"{vid}.txt")
         return np.loadtxt(path, skiprows=1)
 
-    def sample_pair(self) -> Dict[str, np.ndarray]:
+    def sample_pair(self, max_tries: int = 1000) -> Dict[str, np.ndarray]:
+        """Rejection sampler (realestate10k.py:154-216).  Bounded: a
+        malformed/empty dataset raises instead of spinning forever (the
+        reference instead crashes per-item and continues, train_dpr.py:104-112)."""
         thr = (self.max_rotation if self.is_train else self.val_rotation) // 2
-        while True:
+        if self.videos.shape[0] == 0:
+            raise RuntimeError("RealEstate10K: empty video list for this split")
+        for _try in range(max_tries):
             vid = self.videos[self.rng.randint(self.videos.shape[0])]
-            frames = self._frames(vid)
+            try:
+                frames = self._frames(vid)
+            except (OSError, ValueError):
+                continue
             if frames.ndim < 2 or frames.shape[0] < 2:
                 continue
             first = self.rng.choice(frames.shape[0], size=(1,))[0]
@@ -117,6 +125,11 @@ class RealEstate10K:
             ok = cands[(angles > thr) & (trans < 1) & (angles < 60)]
             if len(ok) > 5:
                 break
+        else:
+            raise RuntimeError(
+                f"RealEstate10K: no valid frame pair after {max_tries} tries "
+                f"(thr={thr} deg) -- dataset dir malformed or too restrictive"
+            )
         second = ok[self.rng.randint(ok.shape[0])]
         return self._make_item(vid, frames, first, second)
 

@@ -19,13 +19,14 @@ from pixelsynth_tpu.models.layers import ResNetBlock
 
 
 def get_resnet_arch(model_type: str, ngf: int = 64) -> Dict:
-    """Channel tables (models/networks/configs.py:3-382)."""
+    """Channel tables (models/networks/configs.py:3-382; 256W8UpDown64 at
+    configs.py:54-99)."""
     setup = model_type.split("_")[1]
     shallow_enc = [None, ngf // 2, ngf // 2, ngf // 2, ngf, ngf, ngf, ngf, 64]
     std_dec_tail = [ngf, ngf * 2, ngf * 4, ngf * 4, ngf * 2, ngf * 2, ngf * 2, 3]
-    if setup in ("256W8UpDown", "256W8UpDownRGB", "256W8UpDown3",
-                 "256W8UpDown3SuperRes"):
-        dec_in = {"256W8UpDown": 128, "256W8UpDownRGB": 3,
+    if setup in ("256W8UpDown", "256W8UpDown64", "256W8UpDownRGB",
+                 "256W8UpDown3", "256W8UpDown3SuperRes"):
+        dec_in = {"256W8UpDown": 128, "256W8UpDown64": 64, "256W8UpDownRGB": 3,
                   "256W8UpDown3": None, "256W8UpDown3SuperRes": None}[setup]
         return {
             "layers_enc": list(shallow_enc),

@@ -39,30 +39,48 @@ def avg_pool(x: jnp.ndarray, k: int, stride: int, padding: int = 0) -> jnp.ndarr
 
 def _spectral_normalize(module: nn.Module, w: jnp.ndarray, name: str,
                         update: bool) -> jnp.ndarray:
-    """Divide w by its largest singular value (one power-iteration step).
+    """Divide w by its largest singular value, exactly matching torch
+    spectral_norm semantics: persistent u/v vectors in "spectral_stats";
+    train runs one power iteration (v <- norm(W^T u); u <- norm(W v)),
+    eval reuses the stored vectors; sigma = u . (W v) either way.
 
-    Stateless-friendly re-implementation of torch spectral_norm (the flax
-    wrapper mutates its u vector even in eval mode); the persistent u lives
-    in the "spectral_stats" collection and is only written when that
-    collection is mutable and `update` is set.
+    With w flattened to mat (d, out) = W_mat^T, torch's updates become
+    v = norm(mat @ u) and u = norm(mat^T @ v).
     """
     mat = w.reshape(-1, w.shape[-1])
-    u_var = module.variable(
-        "spectral_stats", name,
-        lambda: jax.random.normal(module.make_rng("params"), (mat.shape[-1],)),
+    vname = "v" + name[1:]
+
+    def u_init():
+        # converge at init so a never-trained model still divides by a
+        # sane sigma ~ sigma_max (torch converges during its first train
+        # forwards; a purely-eval random-init model must not explode)
+        u0 = _l2norm(jax.random.normal(module.make_rng("params"),
+                                       (mat.shape[-1],)))
+
+        def body(_, u):
+            return _l2norm(mat.T @ _l2norm(mat @ u))
+
+        return jax.lax.fori_loop(0, 15, body, u0)
+
+    u_var = module.variable("spectral_stats", name, u_init)
+    v_var = module.variable(
+        "spectral_stats", vname, lambda: _l2norm(mat @ u_var.value)
     )
-    u = u_var.value
-    # one power iteration
-    v = mat @ u
-    v = v / (jnp.linalg.norm(v) + 1e-12)
-    u_new = mat.T @ v
-    u_new = u_new / (jnp.linalg.norm(u_new) + 1e-12)
-    u_new = jax.lax.stop_gradient(u_new)
-    v = jax.lax.stop_gradient(mat @ u_new)
-    sigma = jnp.linalg.norm(v)
-    if update and module.is_mutable_collection("spectral_stats"):
-        u_var.value = u_new
-    return w / (sigma + 1e-12)
+    u, v = u_var.value, v_var.value
+    if update:
+        v = jax.lax.stop_gradient(_l2norm(mat @ u))
+        u = jax.lax.stop_gradient(_l2norm(mat.T @ v))
+        if module.is_mutable_collection("spectral_stats"):
+            u_var.value, v_var.value = u, v
+    # sigma = |W v| == torch's u . (W v): torch always refreshes
+    # u = normalize(W v) before taking the inner product, in train (after
+    # the power iteration) and eval (stored u/v pair) alike.
+    sigma = jnp.linalg.norm(mat.T @ jax.lax.stop_gradient(v))
+    return w / sigma
+
+
+def _l2norm(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return x / (jnp.linalg.norm(x) + eps)
 
 
 class SNConv(nn.Module):
@@ -127,6 +145,52 @@ class SyncBatchNorm(nn.Module):
         )(x)
 
 
+class StandingStatsBN(nn.Module):
+    """BigGAN BatchNorm_StandingStats (models/layers/normalization.py:95-163,
+    selected by norm_G="spectral_batchstanding", architectures.py:45-46).
+
+    Affine gain/bias parameters around a BN whose stored stats can either
+    track a running average (momentum 0.1, torch convention) or *accumulate*
+    standing statistics: in accumulate mode, train-time means/vars are summed
+    into the stored buffers with a counter, and eval divides by the counter.
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = old*(1-m) + batch*m
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True, accumulate_standing: bool = False):
+        gain = self.param("gain", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean_v = self.variable("batch_stats", "stored_mean",
+                               lambda: jnp.zeros((self.features,)))
+        var_v = self.variable("batch_stats", "stored_var",
+                              lambda: jnp.ones((self.features,)))
+        cnt_v = self.variable("batch_stats", "accumulation_counter",
+                              lambda: jnp.zeros((1,)))
+        if train:
+            # mean-of-squares minus mean-squared, like manual_bn
+            m = jnp.mean(x, axis=(0, 1, 2))
+            m2 = jnp.mean(x ** 2, axis=(0, 1, 2))
+            var = m2 - m ** 2
+            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+                if accumulate_standing:
+                    mean_v.value = mean_v.value + m
+                    var_v.value = var_v.value + var
+                    cnt_v.value = cnt_v.value + 1.0
+                else:
+                    mean_v.value = mean_v.value * (1 - self.momentum) + m * self.momentum
+                    var_v.value = var_v.value * (1 - self.momentum) + var * self.momentum
+        else:
+            m, var = mean_v.value, var_v.value
+            if accumulate_standing:
+                m = m / cnt_v.value
+                var = var / cnt_v.value
+        scale = jax.lax.rsqrt(var + self.eps) * gain
+        return x * scale - (m * scale - bias)
+
+
 class NoiseBN(nn.Module):
     """BigGAN noise-conditioned BatchNorm (normalization.py:21-47).
 
@@ -139,10 +203,11 @@ class NoiseBN(nn.Module):
     spectral: bool = True
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
-        noise = jax.random.normal(
-            self.make_rng("noise"), (x.shape[0], self.noise_sz), x.dtype
-        )
+    def __call__(self, x, *, train: bool = True, noise=None):
+        if noise is None:
+            noise = jax.random.normal(
+                self.make_rng("noise"), (x.shape[0], self.noise_sz), x.dtype
+            )
         wg = self.param(
             "gain_kernel", nn.initializers.lecun_normal(), (self.noise_sz, self.features)
         )

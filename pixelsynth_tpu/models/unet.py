@@ -16,7 +16,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pixelsynth_tpu.models.layers import SNConv, SyncBatchNorm, upsample2x
+from pixelsynth_tpu.models.layers import (
+    SNConv, StandingStatsBN, SyncBatchNorm, upsample2x,
+)
 
 
 class UNet(nn.Module):
@@ -24,6 +26,7 @@ class UNet(nn.Module):
     channels_out: int = 1
     spectral: bool = True
     levels: int = 8
+    norm: str = "batch"  # "batch" | "batchstanding" (norm_G suffix)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = True) -> jnp.ndarray:
@@ -32,10 +35,15 @@ class UNet(nn.Module):
         mults = [1, 2, 4] + [8] * (L - 3)
         chans = [nf * m for m in mults[:L]]
 
+        def make_norm(h, *, train):
+            if self.norm == "batchstanding":
+                return StandingStatsBN(h.shape[-1])(h, train=train)
+            return SyncBatchNorm()(h, train=train)
+
         def down(h, feats, norm=True):
             h = SNConv(feats, 4, 2, 1, spectral=self.spectral)(h, train=train)
             if norm:
-                h = SyncBatchNorm()(h, train=train)
+                h = make_norm(h, train=train)
             return h
 
         def up(h, feats, norm=True):
@@ -43,7 +51,7 @@ class UNet(nn.Module):
                 upsample2x(nn.relu(h)), train=train
             )
             if norm:
-                h = SyncBatchNorm()(h, train=train)
+                h = make_norm(h, train=train)
             return h
 
         lrelu = lambda h: nn.leaky_relu(h, 0.2)

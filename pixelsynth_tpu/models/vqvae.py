@@ -79,11 +79,15 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.relu(x)
-        h = nn.Conv(self.channel, (3, 3), padding=1)(h)
+        # NOTE: the residual adds relu(x), not x.  The reference's first
+        # ReLU is inplace=True (vqvae.py:86) and mutates the block input
+        # before `out += input` runs (vqvae.py:94), so its effective
+        # semantics are conv(relu(x)) + relu(x).
+        r = nn.relu(x)
+        h = nn.Conv(self.channel, (3, 3), padding=1)(r)
         h = nn.relu(h)
         h = nn.Conv(x.shape[-1], (1, 1))(h)
-        return x + h
+        return r + h
 
 
 class Encoder(nn.Module):

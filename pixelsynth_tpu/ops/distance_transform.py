@@ -49,8 +49,60 @@ def distance_to_zero(mask: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(per_image)(inside).reshape(B, H, W)
 
 
+# cv2's DIST_L2 maskSize=5 chamfer weights (opencv distransform.cpp,
+# initDistanceTransform): axial / diagonal / knight-move costs.
+_CHAMFER5 = (1.0, 1.4, 2.1969)
+
+
+@functools.lru_cache(maxsize=4)
+def _chamfer_offsets():
+    a, b, c = _CHAMFER5
+    offs = []
+    for dy, dx in ((0, 1), (1, 0)):
+        offs += [((dy, dx), a), ((-dy, -dx), a)]
+    for dy in (-1, 1):
+        for dx in (-1, 1):
+            offs.append(((dy, dx), b))
+    for dy, dx in ((1, 2), (2, 1), (1, -2), (2, -1)):
+        offs += [((dy, dx), c), ((-dy, -dx), c)]
+    return tuple(offs)
+
+
+def chamfer_distance_to_zero(mask: jnp.ndarray, iters: int | None = None) -> jnp.ndarray:
+    """cv2.distanceTransform(DIST_L2, maskSize=5)-compatible chamfer
+    distance to the nearest zero pixel (models/z_buffermodel.py:672-674).
+
+    The two-pass chamfer scan is the shortest path under the 5x5 chamfer
+    graph; we compute the same fixpoint by iterated min-plus relaxation,
+    which is batched and jittable (the raster scans are inherently
+    sequential).  Convergence needs at most ~(H+W)/1 hops; grids here are
+    the 32x32 code lattice, so the loop is trivial on the VPU.
+    """
+    B, H, W = mask.shape
+    INF = jnp.float32(1e9)
+    d = jnp.where(mask != 0, INF, 0.0)
+    iters = iters if iters is not None else H + W
+
+    offs = _chamfer_offsets()
+
+    def shift(x, dy, dx):
+        return jnp.roll(
+            jnp.pad(x, ((0, 0), (2, 2), (2, 2)), constant_values=1e9),
+            (dy, dx), axis=(1, 2),
+        )[:, 2:-2, 2:-2]
+
+    def body(_, d):
+        for (dy, dx), w in offs:
+            d = jnp.minimum(d, shift(d, dy, dx) + w)
+        return d
+
+    d = jax.lax.fori_loop(0, iters, body, d)
+    return jnp.where(mask != 0, d, 0.0)
+
+
 def signed_distance_field(
-    foreground: jnp.ndarray, background: jnp.ndarray | None = None
+    foreground: jnp.ndarray, background: jnp.ndarray | None = None,
+    *, mode: str = "exact",
 ) -> jnp.ndarray:
     """int32 (fg-dist - bg-dist) field (models/z_buffermodel.py:666-675).
 
@@ -63,11 +115,16 @@ def signed_distance_field(
     masks are binarized *independently* (avg-pooled floats truncated via
     astype(uint8), z_buffermodel.py:668-669), so mixed cells can be zero in
     both -- pass both masks to reproduce that exactly.
+
+    mode: "exact" (true L2) or "chamfer" (cv2 maskSize=5-compatible, for
+    runs with reference-trained weights whose generation orders were built
+    under the chamfer approximation).
     """
     fg = (foreground != 0).astype(jnp.float32)
     bg = 1.0 - fg if background is None else (background != 0).astype(jnp.float32)
-    fd = distance_to_zero(fg)
-    bd = distance_to_zero(bg)
+    dist = distance_to_zero if mode == "exact" else chamfer_distance_to_zero
+    fd = dist(fg)
+    bd = dist(bg)
     return jnp.trunc(fd - bd).astype(jnp.int32)
 
 

@@ -176,8 +176,9 @@ class PixelSynth:
         self.spectral = spectral
         levels = int(round(np.log2(mc.W)))
         assert 2 ** levels == mc.W, "W must be a power of two"
+        bn_kind = "batchstanding" if "batchstanding" in mc.norm_G else "batch"
         self.unet = UNet(num_filters=mc.unet_num_filters, channels_out=1,
-                         spectral=spectral, levels=levels)
+                         spectral=spectral, levels=levels, norm=bn_kind)
         self.encoder = (
             None if mc.use_rgb_features
             else ResNetEncoder(mc.refine_model_type, mc.ngf, spectral)
@@ -185,7 +186,7 @@ class PixelSynth:
         # post-splat feature modifier U-Net (z_buffermodel.py:45-46,334-335)
         self.modifier = (
             UNet(num_filters=mc.unet_num_filters, channels_out=64,
-                 spectral=spectral, levels=levels)
+                 spectral=spectral, levels=levels, norm=bn_kind)
             if "modifier" in mc.depth_predictor_type else None
         )
         self.projector = ResNetDecoder(
@@ -357,8 +358,9 @@ class PixelSynth:
         Returns (order (B,1024,2), masks (B,3,k^2,1024), bg_ds (B,32,32))."""
         fg_ds = downsample_mask(~bg_mask)
         bg_ds = downsample_mask(bg_mask)
-        distances = signed_distance_field(binarize_trunc(fg_ds), binarize_trunc(bg_ds))
         l = self.cfg.model.lmconv
+        distances = signed_distance_field(
+            binarize_trunc(fg_ds), binarize_trunc(bg_ds), mode=l.dt_mode)
         if host:
             order, masks = orders_and_masks(distances, l.kernel_size, l.max_dilation)
         else:

@@ -67,13 +67,15 @@ class PreemptionGuard:
 def make_batch_source(cfg: Config, split: str = "train") -> Callable[[], Dict]:
     """Dataset factory (the reference's options/options.py:21-113)."""
     if cfg.dataset == "synthetic":
-        rng = np.random.default_rng(cfg.train.seed)
+        # disjoint streams per split so validation never sees train batches
+        rng = np.random.default_rng(cfg.train.seed + (10_000 if split != "train" else 0))
 
         def fn():
             from pixelsynth_tpu.data.synthetic import synthetic_pair_batch
 
             return synthetic_pair_batch(rng, cfg.train.batch_size, cfg.model.W)
 
+        fn.split = split
         return fn
     if cfg.dataset == "realestate":
         from pixelsynth_tpu.data.realestate10k import RealEstate10K
@@ -87,15 +89,20 @@ def make_batch_source(cfg: Config, split: str = "train") -> Callable[[], Dict]:
             return ds.batch(cfg.train.batch_size)
 
         fn.dataset = ds  # curriculum hook
+        fn.split = split
         return fn
     if cfg.dataset in ("mp3d", "replica", "habitat"):
         from pixelsynth_tpu.data.habitat import PreRenderedEpisodes
 
-        gen = PreRenderedEpisodes(cfg.train_data_path, seed=cfg.train.seed)
+        gen = PreRenderedEpisodes(
+            cfg.train_data_path,
+            seed=cfg.train.seed + (10_000 if split != "train" else 0),
+        )
 
         def fn():
             return gen.batch(cfg.train.batch_size)
 
+        fn.split = split
         return fn
     if cfg.dataset == "custom":
         from pixelsynth_tpu.data.custom import Custom, collate
@@ -117,10 +124,17 @@ def run_dpr(
     *,
     epochs: Optional[int] = None,
     iters_per_epoch: Optional[int] = None,
+    val_iters: Optional[int] = None,
     use_mesh: bool = True,
     log_fn: Callable[[str], None] = print,
 ) -> Dict[str, float]:
-    """Stage-2 training driver.  Returns the last metrics dict."""
+    """Stage-2 training driver.  Returns the last metrics dict.
+
+    Validation draws from the *val* split (RealEstate: last 20% of the
+    train video list, mirroring toval at data/realestate10k.py:298-310;
+    synthetic: a disjoint stream) over cfg.train.val_iters batches
+    (reference: 50, train_dpr.py:170), and best-by-PSNR checkpoint
+    selection keys off that val PSNR (train_dpr.py:316-322)."""
     guard = PreemptionGuard()
     ps = PixelSynth(cfg)
     key = jax.random.PRNGKey(cfg.train.seed)
@@ -145,10 +159,13 @@ def run_dpr(
         state = replicate(state, mesh)
 
     batch_fn = make_batch_source(cfg, "train")
+    val_batch_fn = make_batch_source(cfg, "val")
     epochs = epochs if epochs is not None else cfg.train.max_epoch
     iters = iters_per_epoch if iters_per_epoch is not None else cfg.train.iters_per_epoch
+    n_val = val_iters if val_iters is not None else cfg.train.val_iters
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     metrics: Dict[str, float] = {}
+    m: Dict = {}
 
     for epoch in range(start_epoch, epochs):
         # rotation curriculum (train_dpr.py:91-98)
@@ -168,15 +185,18 @@ def run_dpr(
                 break
         metrics = {k: float(v) for k, v in m.items()}
 
-        # validation pass: best-by-PSNR selection (train_dpr.py:164-218,316-322)
+        # validation pass on the val split: best-by-PSNR selection
+        # (train_dpr.py:164-218,316-322; 50 val batches per epoch at :170)
         val_psnrs = []
-        for _ in range(max(1, cfg.train.val_iters // 10)):
-            vbatch = batch_fn()
+        for _ in range(max(1, n_val)):
+            vbatch = val_batch_fn()
             if mesh is not None:
                 vbatch = shard_batch(vbatch, mesh)
             rng, sub = jax.random.split(rng)
             vlosses = eval_fn(state, vbatch, sub)
             val_psnrs.append(float(vlosses["psnr"]))
+            if guard.requested:
+                break
         metrics["psnr"] = float(np.mean(val_psnrs))
 
         log_fn(
@@ -221,6 +241,7 @@ def run_vqvae(
         state = replicate(state, mesh)
     batch_fn = make_batch_source(cfg, "train")
     metrics = {}
+    m: Dict = {}
     start = int(state.step)
     for epoch in range(epochs):
         for it in range(iters_per_epoch):
@@ -369,6 +390,7 @@ def run_lmconv(
 
     key = jax.random.PRNGKey(cfg.train.seed + 2)
     metrics = {}
+    m: Dict = {}
     for epoch in range(epochs):
         for it in range(iters_per_epoch):
             bidx = rng.integers(len(codes_all), size=cfg.train.batch_size)

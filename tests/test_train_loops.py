@@ -54,7 +54,7 @@ def test_run_dpr_short(tmp_path):
     from pixelsynth_tpu.train.loop import run_dpr
 
     cfg = tiny_cfg()
-    m = run_dpr(cfg, str(tmp_path), epochs=1, iters_per_epoch=2,
+    m = run_dpr(cfg, str(tmp_path), epochs=1, iters_per_epoch=2, val_iters=2,
                 use_mesh=True, log_fn=lambda s: None)
     assert np.isfinite(m["Total Loss"])
     # checkpoint exists and config round-trips

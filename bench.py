@@ -12,6 +12,14 @@ hardware with the SAME kernels (population 1, candidates looped one at a
 time) -- i.e. the reference's sampling strategy ported to this framework;
 the ratio isolates the population-batching win.
 
+The "extra" dict carries the per-stage regression guards the round-1
+review asked for: splat_ms (soft z-buffer at 2x65536 points, W=256,
+counting-sort binning), ar_step_ms (one population PixelCNN forward), and
+view_seconds (one full novel view end to end: depth -> reproject -> splat
+-> order/masks -> AR outpaint -> decode -> rerank, full-size model,
+steady-state).  All timings force a scalar readback per rep
+(block_until_ready is unreliable under remote platforms).
+
 Prints ONE JSON line.
 """
 
@@ -21,6 +29,59 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def bench_splat():
+    from pixelsynth_tpu.config import SplatConfig
+    from pixelsynth_tpu.ops.splat import splat
+
+    W, N, B = 256, 65536 * 2, 2
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(np.stack([
+        rng.uniform(-5, W + 5, (B, N)),
+        rng.uniform(-5, W + 5, (B, N)),
+        rng.uniform(0.5, 10.0, (B, N)),
+    ], -1).astype(np.float32))
+    fts = jnp.asarray(rng.normal(size=(B, N, 64)).astype(np.float32))
+    vld = jnp.asarray(rng.random((B, N)) < 0.9)
+    cfg = SplatConfig()
+    f = jax.jit(lambda p, ft, v: splat(p, ft, v, W=W, cfg=cfg)[0].sum())
+    float(f(pts, fts, vld))
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        float(f(pts, fts, vld))
+    return (time.perf_counter() - t0) / reps * 1000
+
+
+def bench_view():
+    from pixelsynth_tpu.demo import demo_cameras, load_model
+    from pixelsynth_tpu.geometry.paths import get_rt_from_rot
+    from pixelsynth_tpu.pipeline import CloudState
+    from pixelsynth_tpu.scene import SceneGenerator
+
+    ps, variables = load_model(None)
+    cams = demo_cameras(1.0)
+    # pinned protocol: 8 candidate samples per view (the round-1 quoted
+    # config), T=0.7 -- keep stable so cross-round deltas are comparable
+    gen = SceneGenerator(ps, variables, num_samples=8, temperature=0.7)
+    img = jnp.zeros((1, ps.W, ps.W, 3))
+    RTinv, RT = get_rt_from_rot("R", cams["P"], scene_mode=False, rotation=0.3)
+    view_cams = {"K": cams["K"], "Kinv": cams["Kinv"], "P_in": cams["P"],
+                 "Pinv_in": cams["Pinv"], "P_out": np.asarray(RT)}
+    rng = jax.random.PRNGKey(0)
+
+    def one(i):
+        cloud = CloudState.empty(1, ps.W * ps.W, 3)
+        best, _ = gen.generate_view(img, view_cams, cloud, None,
+                                    cams["Pinv"], jax.random.fold_in(rng, i))
+        return float(jnp.asarray(best).sum())
+
+    one(0)  # compile
+    t0 = time.perf_counter()
+    one(1)
+    one(2)
+    return (time.perf_counter() - t0) / 2
 
 
 def main():
@@ -91,11 +152,22 @@ def main():
     steps_per_sec = POP * N_BG / t_batched
     speedup = t_sequential / t_batched
 
+    extra = {"ar_step_ms": round(t_batched / N_BG * 1000, 3)}
+    try:
+        extra["splat_ms"] = round(bench_splat(), 2)
+    except Exception as e:  # never lose the headline metric
+        extra["splat_ms"] = f"failed: {e}"
+    try:
+        extra["view_seconds"] = round(bench_view(), 2)
+    except Exception as e:
+        extra["view_seconds"] = f"failed: {e}"
+
     print(json.dumps({
         "metric": "ar_population_sampling_steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": f"codes/sec (pop={POP}, {N_BG} bg cells, 32x32 grid)",
         "vs_baseline": round(speedup, 2),
+        "extra": extra,
     }))
 
 

@@ -35,6 +35,11 @@ class SplatConfig:
     max_points_per_tile: int = 2048  # static candidate-list capacity per tile
     tile_group: int = 32             # tiles processed per lax.map step
     use_pallas: bool = False         # use the Pallas kernel fast path
+    # candidate binning: "argsort" = one whole-batch fused-key sort (fastest;
+    # keeps the M closest-in-z per tile on overflow; 16-bit z buckets);
+    # "counting" = scatter + exact-f32 per-tile z sort (bit-faithful to the
+    # dense reference order, but entry-order truncation on overflow)
+    binning: str = "argsort"
 
 
 @dataclass

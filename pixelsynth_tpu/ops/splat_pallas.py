@@ -1,8 +1,9 @@
 """Pallas TPU kernel for the soft z-buffer splat blend.
 
-The binning stage (ops/splat._bin_points: sort by tile<<16|depth-bucket,
-fixed-capacity gather) stays in XLA; this kernel replaces the per-tile
-blend.  One program per image tile keeps the tile's full z-sorted
+The binning stage (ops/splat._bin_points_batched: ONE whole-batch
+lax.sort_key_val over image|tile|depth-bucket keys + searchsorted segment
+offsets + fixed-capacity gather) stays in XLA; this kernel replaces the
+per-tile blend.  One program per image tile keeps the tile's full z-sorted
 candidate list in VMEM and composites it in chunks of 128:
 
   * per-pixel/candidate squared distances, radius coverage, and the
@@ -31,7 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pixelsynth_tpu.config import SplatConfig
 from pixelsynth_tpu.ops.masked_conv_pallas import _use_interpret
-from pixelsynth_tpu.ops.splat import _bin_points, dilate_mask
+from pixelsynth_tpu.ops.splat import (
+    _bin_points_batched, _bin_points_counting, dilate_mask,
+)
 
 CHUNK = 128
 
@@ -107,16 +110,17 @@ def _blend_kernel(pts_ref, feats_ref, valid_ref, origin_ref, tri_ref,
     jax.jit,
     static_argnames=("W", "radius", "pp_pixel", "tau", "rad_pow",
                      "accumulation", "bg_ksize", "tile_size",
-                     "max_points_per_tile"),
+                     "max_points_per_tile", "binning"),
 )
 def _splat_pallas_impl(points, feats, valid, *, W, radius, pp_pixel, tau,
                        rad_pow, accumulation, bg_ksize, tile_size,
-                       max_points_per_tile):
+                       max_points_per_tile, binning="argsort"):
     cfg = SplatConfig(
         radius=radius, pp_pixel=pp_pixel, tau=tau, rad_pow=rad_pow,
         accumulation=accumulation,
         background_smoothing_kernel_size=bg_ksize,
         tile_size=tile_size, max_points_per_tile=max_points_per_tile,
+        binning=binning,
     )
     TS = tile_size
     nside = W // TS
@@ -138,8 +142,14 @@ def _splat_pallas_impl(points, feats, valid, *, W, radius, pp_pixel, tau,
         pp_pixel=pp_pixel, tau=tau, rad_pow=rad_pow, accumulation=accumulation,
     )
 
-    def per_image(pts, fts, vld):
-        slot_idx, slot_valid = _bin_points(pts, vld, W, cfg)
+    if cfg.binning == "counting":
+        slot_idx_all, slot_valid_all = jax.vmap(
+            lambda p, v: _bin_points_counting(p, v, W, cfg)
+        )(points, valid)
+    else:
+        slot_idx_all, slot_valid_all = _bin_points_batched(points, valid, W, cfg)
+
+    def per_image(pts, fts, slot_idx, slot_valid):
         spts = pts[slot_idx]                                  # (nT, M, 3)
         spts = jnp.concatenate(
             [spts, jnp.zeros_like(spts[..., :1])], axis=-1)   # pad to 4
@@ -179,7 +189,8 @@ def _splat_pallas_impl(points, feats, valid, *, W, radius, pp_pixel, tau,
         covered = cov.reshape(nside, nside, TS, TS).transpose(0, 2, 1, 3)
         return img, covered.reshape(W, W) > 0
 
-    out, covered = jax.vmap(per_image)(points, feats, valid)
+    out, covered = jax.vmap(per_image)(points, feats, slot_idx_all,
+                                       slot_valid_all)
     background = dilate_mask(~covered, bg_ksize)
     return out, background
 
@@ -193,7 +204,8 @@ def splat_pallas(points, feats, valid, *, W, cfg: SplatConfig):
     and features flow exactly as in ops.splat."""
     key = (W, cfg.radius, cfg.pp_pixel, cfg.tau, cfg.rad_pow,
            cfg.accumulation, cfg.background_smoothing_kernel_size,
-           cfg.tile_size, cfg.max_points_per_tile, cfg.tile_group)
+           cfg.tile_size, cfg.max_points_per_tile, cfg.tile_group,
+           cfg.binning)
     return _splat_pallas_diff(key)(points, feats, valid)
 
 
@@ -203,12 +215,12 @@ import functools as _functools
 @_functools.lru_cache(maxsize=16)
 def _splat_pallas_diff(key):
     (W, radius, pp_pixel, tau, rad_pow, accumulation, bg_ksize, tile_size,
-     max_points_per_tile, tile_group) = key
+     max_points_per_tile, tile_group, binning) = key
     cfg = SplatConfig(
         radius=radius, pp_pixel=pp_pixel, tau=tau, rad_pow=rad_pow,
         accumulation=accumulation, background_smoothing_kernel_size=bg_ksize,
         tile_size=tile_size, max_points_per_tile=max_points_per_tile,
-        tile_group=tile_group,
+        tile_group=tile_group, binning=binning,
     )
 
     @jax.custom_vjp
@@ -217,7 +229,7 @@ def _splat_pallas_diff(key):
             points, feats, valid, W=W, radius=radius, pp_pixel=pp_pixel,
             tau=tau, rad_pow=rad_pow, accumulation=accumulation,
             bg_ksize=bg_ksize, tile_size=tile_size,
-            max_points_per_tile=max_points_per_tile,
+            max_points_per_tile=max_points_per_tile, binning=binning,
         )
 
     def fwd(points, feats, valid):
@@ -234,7 +246,7 @@ def _splat_pallas_diff(key):
                 p, ft, valid, W=W, radius=radius, pp_pixel=pp_pixel, tau=tau,
                 rad_pow=rad_pow, accumulation=accumulation, bg_ksize=bg_ksize,
                 tile_size=tile_size, max_points_per_tile=max_points_per_tile,
-                tile_group=tile_group,
+                tile_group=tile_group, binning=binning,
             )
             return out
 

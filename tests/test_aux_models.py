@@ -41,6 +41,38 @@ def test_dmol_loss_and_sample():
     assert np.isfinite(float(discretized_mix_logistic_loss_1d(x1, l1)))
 
 
+@pytest.mark.parametrize("C,div", [(4, 13), (6, 31)])
+def test_dmol_nd_loss_and_sample(C, div):
+    """4-/6-channel DMOL layouts (lmconv/utils.py:92-99,422-520)."""
+    from pixelsynth_tpu.models.dmol import (
+        discretized_mix_logistic_loss_nd,
+        sample_from_discretized_mix_logistic_nd,
+    )
+
+    key = jax.random.PRNGKey(0)
+    B, H, W, K = 2, 8, 8, 12
+    x = jax.random.uniform(key, (B, H, W, C)) * 2 - 1
+    logits = jax.random.normal(key, (B, H, W, div * K)) * 0.1
+    nll = discretized_mix_logistic_loss_nd(x, logits)
+    bpd = float(nll) / (B * H * W * C * np.log(2))
+    assert 4 < bpd < 14
+    g = jax.grad(lambda l: discretized_mix_logistic_loss_nd(x, l))(logits)
+    assert np.isfinite(np.asarray(g)).all()
+
+    s = sample_from_discretized_mix_logistic_nd(key, logits, C)
+    assert s.shape == (B, H, W, C)
+    assert float(jnp.abs(s).max()) <= 1.0
+
+    # tight mixture centered on zeros scores much better than loose
+    tight = jnp.zeros((B, H, W, div * K))
+    n_per = 3 if C == 4 else 5
+    rest = jnp.zeros((B, H, W, C, n_per * K)).at[..., K:2 * K].set(-6.0)
+    tight = tight.at[..., K:].set(rest.reshape(B, H, W, (div - 1) * K))
+    zero_x = jnp.zeros((B, H, W, C))
+    assert float(discretized_mix_logistic_loss_nd(zero_x, tight)) < float(
+        discretized_mix_logistic_loss_nd(zero_x, jnp.zeros_like(tight)))
+
+
 def test_dmol_peaked_likelihood():
     # a mixture sharply centered on the data should yield low nll
     B, H, W, K = 1, 4, 4, 10

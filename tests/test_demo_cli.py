@@ -77,9 +77,17 @@ def test_consistency_fixtures_feed_homography(tmp_path):
     # clipped reference-point convention: [-1, 1]-ish coords
     assert np.abs(fx["pts1"]).max() < 10
 
+    # the model-produced fixtures plug straight into the metric
     img1 = rng.rand(W, W, 3).astype(np.float32)
     img2 = np.clip(img1 + rng.randn(W, W, 3).astype(np.float32) * 0.05, 0, 1)
     m = consistency_pair_metrics(
         img1, img2, fx["mask1"], fx["mask2"], fx["pts1"], fx["pts2"])
     assert np.isfinite(m["PSNR_vis"])
-    assert m["PSNR_vis"] > 10  # nearly-identical images warp to high PSNR
+
+    # controlled geometry: identical points -> identity homography ->
+    # identical images score (near-)perfect masked PSNR
+    gy, gx = np.mgrid[0:8, 0:8].astype(np.float32)
+    pts_id = np.stack([gx.reshape(-1) / 7 * 2 - 1, gy.reshape(-1) / 7 * 2 - 1], -1)
+    ones = np.ones((W, W), np.uint8)
+    m_id = consistency_pair_metrics(img1, img1, ones, ones, pts_id, pts_id)
+    assert m_id["PSNR_vis"] > 40

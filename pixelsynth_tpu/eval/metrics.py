@@ -82,12 +82,87 @@ class VGG16Features(nn.Module):
         return outs
 
 
-class PercSim:
-    """Cosine feature distance summed over the 5 VGG16 slices
-    (pretrained_networks.py:11-31 cos_sim + 72-93).  Images in [0,1]."""
+class AlexNetFeatures(nn.Module):
+    """torchvision alexnet.features sliced at each ReLU
+    (pretrained_networks.py:154-194, 5 slices)."""
 
-    def __init__(self, variables=None, key=None):
-        self.net = VGG16Features()
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        h = nn.relu(nn.Conv(64, (11, 11), strides=4, padding=2)(x))
+        outs.append(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        h = nn.relu(nn.Conv(192, (5, 5), padding=2)(h))
+        outs.append(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        h = nn.relu(nn.Conv(384, (3, 3), padding=1)(h))
+        outs.append(h)
+        h = nn.relu(nn.Conv(256, (3, 3), padding=1)(h))
+        outs.append(h)
+        h = nn.relu(nn.Conv(256, (3, 3), padding=1)(h))
+        outs.append(h)
+        return outs
+
+
+class Fire(nn.Module):
+    """SqueezeNet fire module: 1x1 squeeze -> (1x1 | 3x3) expand concat."""
+
+    squeeze: int
+    expand: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = nn.relu(nn.Conv(self.squeeze, (1, 1), name="squeeze")(x))
+        e1 = nn.relu(nn.Conv(self.expand, (1, 1), name="expand1x1")(s))
+        e3 = nn.relu(nn.Conv(self.expand, (3, 3), padding=1, name="expand3x3")(s))
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+class SqueezeNetFeatures(nn.Module):
+    """torchvision squeezenet1_1.features sliced per
+    pretrained_networks.py:95-151 (7 slices)."""
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        h = nn.relu(nn.Conv(64, (3, 3), strides=2, name="conv0")(x))
+        outs.append(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        h = Fire(16, 64, name="fire3")(h)
+        h = Fire(16, 64, name="fire4")(h)
+        outs.append(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        h = Fire(32, 128, name="fire6")(h)
+        h = Fire(32, 128, name="fire7")(h)
+        outs.append(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        h = Fire(48, 192, name="fire9")(h)
+        outs.append(h)
+        h = Fire(48, 192, name="fire10")(h)
+        outs.append(h)
+        h = Fire(64, 256, name="fire11")(h)
+        outs.append(h)
+        h = Fire(64, 256, name="fire12")(h)
+        outs.append(h)
+        return outs
+
+
+_PNET_NETS = {
+    "vgg16": VGG16Features,
+    "alex": AlexNetFeatures,
+    "squeeze": SqueezeNetFeatures,
+}
+
+
+class PercSim:
+    """Cosine feature distance summed over the backbone's slices
+    (pretrained_networks.py:11-31 cos_sim + 72-93).  Images in [0,1].
+
+    net: "vgg16" (the variant the PercSim metric uses,
+    utils/calc_errors.py) | "alex" | "squeeze" (PNet --pnet_type)."""
+
+    def __init__(self, variables=None, key=None, net: str = "vgg16"):
+        self.net = _PNET_NETS[net]()
         if variables is None:
             key = key if key is not None else jax.random.PRNGKey(0)
             variables = self.net.init({"params": key}, jnp.zeros((1, 64, 64, 3)))
@@ -121,6 +196,30 @@ def load_torch_vgg16(npz_path: str):
         params[f"Conv_{i}"] = {
             "kernel": jnp.asarray(raw[f"{cid}.weight"].transpose(2, 3, 1, 0)),
             "bias": jnp.asarray(raw[f"{cid}.bias"]),
+        }
+    return {"params": params}
+
+
+# torchvision alexnet.features has the same flat '<idx>.weight' layout
+load_torch_alexnet = load_torch_vgg16
+
+
+def load_torch_squeezenet(npz_path: str):
+    """torchvision squeezenet1_1.features npz -> SqueezeNetFeatures params
+    ('0.weight' first conv; '<i>.{squeeze,expand1x1,expand3x3}.weight'
+    fire modules at indices 3,4,6,7,9,10,11,12)."""
+    raw = np.load(npz_path)
+
+    def conv(prefix):
+        return {"kernel": jnp.asarray(raw[f"{prefix}.weight"].transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(raw[f"{prefix}.bias"])}
+
+    params = {"conv0": conv("0")}
+    for i in (3, 4, 6, 7, 9, 10, 11, 12):
+        params[f"fire{i}"] = {
+            "squeeze": conv(f"{i}.squeeze"),
+            "expand1x1": conv(f"{i}.expand1x1"),
+            "expand3x3": conv(f"{i}.expand3x3"),
         }
     return {"params": params}
 

@@ -186,6 +186,18 @@ class VQVAETop(nn.Module):
         quant_t = self.quantize_t.embed_code(code_t)
         return self.decode(quant_t)
 
+    def pre_quantize(self, x):
+        """Raw pre-quantization latents (qt, qb) for data-dependent codebook
+        initialization (see train/vqvae.init_codebook_from_batch).  qb is
+        computed through the *current* top codebook."""
+        enc_b = self.enc_b(x)
+        enc_t = self.enc_t(enc_b)
+        qt = self.quantize_conv_t(enc_t)
+        quant_t, _, _ = self.quantize_t(qt, train=False)
+        dec_t = self.dec_t(quant_t)
+        qb = self.quantize_conv_b(jnp.concatenate([dec_t, enc_b], axis=-1))
+        return qt, qb
+
 
 class VQVAE(nn.Module):
     """Full two-level VQ-VAE-2 (vqvae.py:164-238)."""

@@ -56,3 +56,25 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
         return jax.device_put(jax.numpy.asarray(x), sharding)
 
     return jax.tree.map(place, tree)
+
+
+def shard_batch_multihost(batch: Any, mesh: Mesh) -> Any:
+    """Assemble a *global* batch from per-host shards on a multi-process
+    mesh (pod slices: each host loads its own slice of the batch; the
+    global array spans hosts without any cross-DCN copy of the data).
+
+    Each leaf's leading axis is this host's local shard; the resulting
+    global arrays have leading size local_size * process_count, sharded
+    over the mesh's data axis.  On single-process setups this degrades to
+    `shard_batch`.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+
+    def place(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh, x.ndim), x
+        )
+
+    return jax.tree.map(place, batch)

@@ -50,6 +50,11 @@ def main(argv=None):
         export_features(vgg19, os.path.join(args.out, "vgg19_features.npz"))
         vgg16 = torchvision.models.vgg16(weights="IMAGENET1K_V1").features
         export_features(vgg16, os.path.join(args.out, "vgg16_features.npz"))
+        # PNet --pnet_type variants (pretrained_networks.py:95-194)
+        alex = torchvision.models.alexnet(weights="IMAGENET1K_V1").features
+        export_features(alex, os.path.join(args.out, "alexnet_features.npz"))
+        sq = torchvision.models.squeezenet1_1(weights="IMAGENET1K_V1").features
+        export_features(sq, os.path.join(args.out, "squeezenet_features.npz"))
     except Exception as e:  # no weights cached / no network
         print(f"torchvision weights unavailable: {e}")
 

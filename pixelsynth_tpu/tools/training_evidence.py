@@ -52,8 +52,29 @@ def _cfg(W: int):
     return cfg
 
 
-def evidence_vqvae(out_dir: str, *, W: int = 128, steps: int = 300,
-                   log_every: int = 10, seed: int = 0) -> Dict:
+def structured_images(rng: np.random.Generator, B: int, W: int) -> np.ndarray:
+    """Piecewise-smooth scenes (gradient sky + colored rectangles): enough
+    spatial structure that VQ compression and the spatial AR prior both
+    have something to learn (uniform random textures are incompressible
+    and pin recon MSE at the data variance)."""
+    ys, xs = np.meshgrid(np.linspace(0, 1, W), np.linspace(0, 1, W),
+                         indexing="ij")
+    out = np.zeros((B, W, W, 3), np.float32)
+    for b in range(B):
+        c0 = rng.uniform(-1, 1, 3)
+        gx = rng.uniform(-1, 1, 3)
+        gy = rng.uniform(-1, 1, 3)
+        img = c0[None, None] + xs[..., None] * gx + ys[..., None] * gy
+        for _ in range(rng.integers(2, 5)):
+            y0, x0 = rng.integers(0, W, 2)
+            h, w = rng.integers(W // 8, W // 2, 2)
+            img[y0:y0 + h, x0:x0 + w] = rng.uniform(-1, 1, 3)
+        out[b] = np.clip(img, -1, 1)
+    return out
+
+
+def evidence_vqvae(out_dir: str, *, W: int = 128, steps: int = 1200,
+                   log_every: int = 20, seed: int = 0) -> Dict:
     from pixelsynth_tpu.models.vqvae import VQVAETop
     from pixelsynth_tpu.train.vqvae import create_vqvae_state, make_vqvae_train_step
 
@@ -62,18 +83,17 @@ def evidence_vqvae(out_dir: str, *, W: int = 128, steps: int = 300,
     model = VQVAETop(in_channel=v.in_channel, channel=v.channel,
                      n_res_block=v.n_res_block, n_res_channel=v.n_res_channel,
                      embed_dim=v.embed_dim, n_embed=v.n_embed, decay=v.decay)
-    state, tx = create_vqvae_state(model, jax.random.PRNGKey(seed),
-                                   lr=3e-4, img_size=W)
-    step_fn = make_vqvae_train_step(model, tx)
     rng = np.random.default_rng(seed)
+    state, tx = create_vqvae_state(
+        model, jax.random.PRNGKey(seed), lr=3e-4, img_size=W,
+        init_batch=structured_images(rng, 8, W),
+    )
+    step_fn = make_vqvae_train_step(model, tx)
     write, f = _writer(os.path.join(out_dir, "vqvae.jsonl"))
     first = last = None
     t0 = time.time()
     for it in range(steps):
-        from pixelsynth_tpu.data.synthetic import synthetic_pair_batch
-
-        img = jnp.asarray(synthetic_pair_batch(rng, cfg.train.batch_size, W)
-                          ["input_img"])
+        img = jnp.asarray(structured_images(rng, cfg.train.batch_size, W))
         state, m = step_fn(state, img)
         if it % log_every == 0 or it == steps - 1:
             mse = float(m["mse"])
@@ -110,7 +130,7 @@ def evidence_lmconv(out_dir: str, *, W: int = 128, steps: int = 300,
     # otherwise synthetic low-entropy grids
     if vq is not None:
         model_vq, state_vq = vq["model"], vq["state"]
-        variables = {"params": state_vq.params, "ema": state_vq.ema}
+        variables = state_vq.variables
 
         @jax.jit
         def encode(img):
@@ -119,8 +139,7 @@ def evidence_lmconv(out_dir: str, *, W: int = 128, steps: int = 300,
 
         batches = []
         for _ in range(8):
-            img = jnp.asarray(
-                synthetic_pair_batch(rng, cfg.train.batch_size, W)["input_img"])
+            img = jnp.asarray(structured_images(rng, cfg.train.batch_size, W))
             batches.append(np.asarray(encode(img)))
         codes_all = np.concatenate(batches, 0)
     else:
@@ -154,7 +173,7 @@ def evidence_lmconv(out_dir: str, *, W: int = 128, steps: int = 300,
         state, m = step_fn(state, codes, masks, sub)
         if it % log_every == 0 or it == steps - 1:
             bpd = float(m["bpd"])
-            write(it, bpd=bpd, loss=float(m["loss"]))
+            write(it, bpd=bpd, ce=float(m["ce"]))
             first = first if first is not None else bpd
             last = bpd
     f.close()
@@ -163,8 +182,8 @@ def evidence_lmconv(out_dir: str, *, W: int = 128, steps: int = 300,
     return {"first_bpd": first, "last_bpd": last}
 
 
-def evidence_dpr(out_dir: str, *, W: int = 128, steps: int = 600,
-                 log_every: int = 20, seed: int = 0,
+def evidence_dpr(out_dir: str, *, W: int = 64, steps: int = 4000,
+                 log_every: int = 100, seed: int = 0,
                  n_items: int = 48) -> Dict:
     """Overfit the full G+D stage-2 step on a fixed synthetic pair set and
     track train-set PSNR (the reference's implicit trainability contract)."""
@@ -188,7 +207,7 @@ def evidence_dpr(out_dir: str, *, W: int = 128, steps: int = 600,
 
     key = jax.random.PRNGKey(seed + 1)
     write, f = _writer(os.path.join(out_dir, "dpr.jsonl"))
-    best = -1.0
+    best = -float("inf")
     t0 = time.time()
     for it in range(steps):
         batch = fixed[it % len(fixed)]
@@ -219,12 +238,15 @@ def main(argv=None):
     vq = None
     if args.stage in ("all", "vqvae"):
         vq = evidence_vqvae(args.out, W=args.width,
-                            steps=args.steps or 300)
+                            steps=args.steps or 1200)
     if args.stage in ("all", "lmconv"):
         evidence_lmconv(args.out, W=args.width, steps=args.steps or 300,
                         vq=vq)
     if args.stage in ("all", "dpr"):
-        evidence_dpr(args.out, W=args.width, steps=args.steps or 600)
+        # full G+D step at W=128 x batch 8 exceeds a single chip's HBM;
+        # the overfit evidence runs at W=64
+        evidence_dpr(args.out, W=min(args.width, 64),
+                     steps=args.steps or 4000)
 
 
 if __name__ == "__main__":

@@ -228,8 +228,11 @@ def run_vqvae(
         n_res_channel=v.n_res_channel, embed_dim=v.embed_dim,
         n_embed=v.n_embed, decay=v.decay,
     )
-    state, tx = create_vqvae_state(model, jax.random.PRNGKey(cfg.train.seed),
-                                   lr=lr, img_size=cfg.model.W)
+    init_fn = make_batch_source(cfg, "train")
+    state, tx = create_vqvae_state(
+        model, jax.random.PRNGKey(cfg.train.seed), lr=lr, img_size=cfg.model.W,
+        init_batch=init_fn()["input_img"],  # data-dependent codebook init
+    )
     step_fn = make_vqvae_train_step(model, tx)
     ckpt = CheckpointManager(os.path.join(workdir, "vqvae"), max_to_keep=2,
                              best_metric="mse", best_mode="min")

@@ -46,3 +46,32 @@ class SectionTimer:
                 "mean_ms": round(v / self.counts[k] * 1000, 3)}
             for k, v in sorted(self.totals.items())
         }
+
+
+def time_compiled(fn, *args, reps: int = 10, warmup: int = 1) -> float:
+    """Trustworthy-by-construction device timing: mean seconds per call.
+
+    Wraps `fn` so each rep ends in a scalar readback.  Under remote
+    platforms (the axon tunnel) `block_until_ready` returns before the
+    device work is observable and adds ~35 ms of jittery dispatch
+    latency, so timings must be paced by a value actually crossing the
+    wire; this helper encodes that discipline (every number in
+    ROADMAP/bench is measured this way).
+
+    fn: jittable callable; its output tree is reduced to one scalar.
+    """
+    import jax.numpy as jnp
+
+    def scalarized(*a):
+        out = fn(*a)
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(jnp.abs(jnp.asarray(x).astype(jnp.float32)))
+                   for x in leaves)
+
+    g = jax.jit(scalarized)
+    for _ in range(max(1, warmup)):
+        float(g(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(g(*args))
+    return (time.perf_counter() - t0) / reps

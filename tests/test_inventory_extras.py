@@ -97,3 +97,71 @@ def test_inception_features():
     assert abs(n - 21_789_000) < 20_000, n
     fn = make_fid_feature_fn(vs)
     assert fn(jnp.zeros((2, 32, 32, 3))).shape == (2, 2048)
+
+
+def test_pnet_variants():
+    """PNet alex/squeeze backbones (pretrained_networks.py:95-194) +
+    their torchvision-layout weight loaders."""
+    import numpy as np
+
+    from pixelsynth_tpu.eval.metrics import (
+        AlexNetFeatures,
+        PercSim,
+        SqueezeNetFeatures,
+        load_torch_alexnet,
+        load_torch_squeezenet,
+    )
+
+    x = jnp.zeros((1, 64, 64, 3))
+    va = AlexNetFeatures().init({"params": jax.random.PRNGKey(0)}, x)
+    outs = AlexNetFeatures().apply(va, x)
+    assert len(outs) == 5
+    assert outs[0].shape[-1] == 64 and outs[-1].shape[-1] == 256
+
+    vs = SqueezeNetFeatures().init({"params": jax.random.PRNGKey(0)}, x)
+    outs = SqueezeNetFeatures().apply(vs, x)
+    assert len(outs) == 7
+    assert outs[0].shape[-1] == 64 and outs[-1].shape[-1] == 512
+
+    # PercSim runs with every backbone; identical inputs -> 0 distance
+    for net in ("alex", "squeeze"):
+        ps = PercSim(net=net)
+        d = ps(jnp.zeros((1, 64, 64, 3)) + 0.5, jnp.zeros((1, 64, 64, 3)) + 0.5)
+        assert float(jnp.abs(d).max()) < 1e-5
+
+    # loader round-trips a torchvision-layout npz (synthetic weights)
+    import tempfile, os
+    rng = np.random.RandomState(0)
+
+    def t_conv(cin, cout, k):
+        return (rng.rand(cout, cin, k, k).astype(np.float32),
+                rng.rand(cout).astype(np.float32))
+
+    alex_spec = [(0, 3, 64, 11), (3, 64, 192, 5), (6, 192, 384, 3),
+                 (8, 384, 256, 3), (10, 256, 256, 3)]
+    raw = {}
+    for idx, cin, cout, k in alex_spec:
+        w, b = t_conv(cin, cout, k)
+        raw[f"{idx}.weight"], raw[f"{idx}.bias"] = w, b
+    with tempfile.TemporaryDirectory() as d_:
+        p = os.path.join(d_, "alex.npz")
+        np.savez(p, **raw)
+        loaded = load_torch_alexnet(p)
+        out = AlexNetFeatures().apply(loaded, x)
+        assert len(out) == 5
+
+        sq_raw = {"0.weight": t_conv(3, 64, 3)[0], "0.bias": t_conv(3, 64, 3)[1]}
+        spec = {3: (64, 16, 64), 4: (128, 16, 64), 6: (128, 32, 128),
+                7: (256, 32, 128), 9: (256, 48, 192), 10: (384, 48, 192),
+                11: (384, 64, 256), 12: (512, 64, 256)}
+        for i, (cin, s, e) in spec.items():
+            for name, (ci, co, k) in (("squeeze", (cin, s, 1)),
+                                      ("expand1x1", (s, e, 1)),
+                                      ("expand3x3", (s, e, 3))):
+                w, b = t_conv(ci, co, k)
+                sq_raw[f"{i}.{name}.weight"], sq_raw[f"{i}.{name}.bias"] = w, b
+        p2 = os.path.join(d_, "sq.npz")
+        np.savez(p2, **sq_raw)
+        loaded2 = load_torch_squeezenet(p2)
+        out2 = SqueezeNetFeatures().apply(loaded2, x)
+        assert len(out2) == 7

@@ -47,10 +47,10 @@ def test_dpr_overfits_fixed_set():
     best = max(r["psnr"] for r in rows)
     first = rows[0]["psnr"]
     # the joint G+D step drives train-set PSNR steadily up from its
-    # negative random-init value (committed run: -1.5 -> +6.1 over 4k
+    # negative random-init value (committed run: -1.4 -> +9.5 over 16k
     # steps, still climbing -- the reference's own protocol is 125k steps)
-    assert best > first + 6
-    assert best > 4  # absolute floor on the committed run
+    assert best > first + 8
+    assert best > 7  # absolute floor on the committed run
     # reconstruction keeps improving through the end of the run
     assert rows[-1]["l1"] < 0.5 * rows[0]["l1"]
     assert rows[-1]["total_loss"] < rows[0]["total_loss"]

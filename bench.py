@@ -54,7 +54,13 @@ def bench_splat():
     return (time.perf_counter() - t0) / reps * 1000
 
 
-def bench_view():
+def bench_view_and_scene():
+    """view_seconds: one full novel view, steady state.  scene_seconds:
+    a full multi-direction cumulative scene walk (R L U D at num_split=8,
+    28 views -- the north-star "single image -> full scene" wall-clock,
+    BASELINE.md <5 s target), second walk so compile is excluded."""
+    import warnings
+
     from pixelsynth_tpu.demo import demo_cameras, load_model
     from pixelsynth_tpu.geometry.paths import get_rt_from_rot
     from pixelsynth_tpu.pipeline import CloudState
@@ -64,7 +70,9 @@ def bench_view():
     cams = demo_cameras(1.0)
     # pinned protocol: 8 candidate samples per view (the round-1 quoted
     # config), T=0.7 -- keep stable so cross-round deltas are comparable
-    gen = SceneGenerator(ps, variables, num_samples=8, temperature=0.7)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # no classifier weights in bench
+        gen = SceneGenerator(ps, variables, num_samples=8, temperature=0.7)
     img = jnp.zeros((1, ps.W, ps.W, 3))
     RTinv, RT = get_rt_from_rot("R", cams["P"], scene_mode=False, rotation=0.3)
     view_cams = {"K": cams["K"], "Kinv": cams["Kinv"], "P_in": cams["P"],
@@ -81,7 +89,21 @@ def bench_view():
     t0 = time.perf_counter()
     one(1)
     one(2)
-    return (time.perf_counter() - t0) / 2
+    view_seconds = (time.perf_counter() - t0) / 2
+
+    dirs = ("R", "L", "U", "D")
+    n_views = 9 + 9 + 5 + 5
+
+    def walk(seed):
+        gen.generate_scene(img, cams["K"], cams["Kinv"], cams["P"],
+                           cams["Pinv"], directions=list(dirs), num_split=8,
+                           rng=jax.random.PRNGKey(seed))
+
+    walk(0)  # the scene step is already compiled from the view bench
+    t0 = time.perf_counter()
+    walk(1)
+    scene_seconds = time.perf_counter() - t0
+    return view_seconds, scene_seconds, n_views
 
 
 def main():
@@ -158,7 +180,10 @@ def main():
     except Exception as e:  # never lose the headline metric
         extra["splat_ms"] = f"failed: {e}"
     try:
-        extra["view_seconds"] = round(bench_view(), 2)
+        view_s, scene_s, n_views = bench_view_and_scene()
+        extra["view_seconds"] = round(view_s, 2)
+        extra["scene_seconds"] = round(scene_s, 2)
+        extra["scene_views"] = n_views
     except Exception as e:
         extra["view_seconds"] = f"failed: {e}"
 

@@ -73,6 +73,8 @@ class LMConvConfig:
     conv_mask_weight: bool = False
     weight_norm: bool = False
     num_classes: int = 512
+    # parameter EMA for sampling (models/lmconv/utils.py:635-653; --ema arg)
+    ema_decay: Optional[float] = None
     obs: Tuple[int, int, int] = (3, 32, 32)  # (C, rows, cols) of the code grid
     # distance transform driving the generation order: "exact" (true L2) or
     # "chamfer" (cv2 maskSize=5-compatible -- use with reference-trained

@@ -44,8 +44,15 @@ class HabitatGeneratorProtocol(Protocol):
 class PreRenderedEpisodes:
     """Batch source over exported habitat shards."""
 
-    def __init__(self, shard_dir: str, seed: int = 0):
+    def __init__(self, shard_dir: str, seed: int = 0, split: str = None):
+        """split: when given and `<split>_*.npz` shards exist, restrict to
+        them (the exporter's --split naming); otherwise use every shard."""
         self.paths = sorted(glob.glob(os.path.join(shard_dir, "*.npz")))
+        if split:
+            split_paths = [p for p in self.paths
+                           if os.path.basename(p).startswith(f"{split}_")]
+            if split_paths:
+                self.paths = split_paths
         if not self.paths:
             raise FileNotFoundError(f"no habitat shards in {shard_dir}")
         self.rng = np.random.default_rng(seed)
@@ -62,7 +69,7 @@ class PreRenderedEpisodes:
         shard = self._load(self.paths[self.rng.integers(len(self.paths))])
         i = int(self.rng.integers(shard["images"].shape[0]))
         imgs = shard["images"][i].astype(np.float32) / 255.0 * 2.0 - 1.0
-        return {
+        out = {
             "input_img": imgs[0],
             "output_img": imgs[1],
             "K": shard["K"].astype(np.float32),
@@ -72,6 +79,11 @@ class PreRenderedEpisodes:
             "P_out": shard["P"][i, 1],
             "Pinv_out": shard["Pinv"][i, 1],
         }
+        if "depth" in shard.files:
+            # GT depth of the *input* view for the optional supervised-depth
+            # loss (z_buffermodel.py:404-407 train_depth path)
+            out["depth_img"] = shard["depth"][i, 0].astype(np.float32)
+        return out
 
     def batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         items = [self.sample_pair() for _ in range(batch_size)]

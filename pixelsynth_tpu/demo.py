@@ -66,6 +66,14 @@ def load_model(ckpt_dir: Optional[str], cfg: Optional[Config] = None):
     from pixelsynth_tpu.checkpoint import CheckpointManager
     from pixelsynth_tpu.train.dpr import create_dpr_state
 
+    if ckpt_dir is not None and ckpt_dir.endswith(".npz"):
+        # single-file stitched artifact (tools/stitch_checkpoint.py)
+        from pixelsynth_tpu.tools.stitch_checkpoint import load_stitched_npz
+
+        cfg, stitched, _ = load_stitched_npz(ckpt_dir)
+        ps = PixelSynth(cfg)
+        variables = ps.init_variables(jax.random.PRNGKey(0))
+        return ps, {**variables, **stitched}
     if ckpt_dir is not None:
         mgr = CheckpointManager(os.path.join(ckpt_dir, "dpr"))
         cfg = mgr.load_config() or cfg or Config()

@@ -38,6 +38,49 @@ def warp(img01: np.ndarray, h: np.ndarray) -> np.ndarray:
     return out / 255.0
 
 
+def exact_rotation_homography(P1: np.ndarray, P2: np.ndarray, W: int,
+                              atol: float = 1e-4) -> np.ndarray:
+    """Exact pixel-space homography between two rotation-only cameras.
+
+    The scene walk composes pure rotations onto the input camera in the
+    K-folded frame (geometry/paths.py / z_buffermodel.py:202-242), so any
+    two of its views with no translation delta are related by the exact
+    homography  H = A @ M3 @ A^-1, where M = P2 @ P1^-1 and A maps
+    homogeneous clip coords to pixel coords per
+    geometry/projection.py homogeneous_to_pixels:
+      col*hz = c*(hz - hx),  row*hz = c*(hz + hy),  c = (W-1)/2.
+    Ground truth replaces the reference's fitted findHomography on saved
+    reprojection points (calc_errors_consistency_homography.py:82-88)."""
+    M = P2.astype(np.float64) @ np.linalg.inv(P1.astype(np.float64))
+    if np.abs(M[:3, 3]).max() > atol:
+        raise ValueError(f"cameras are not rotation-only: t={M[:3, 3]}")
+    c = (W - 1) / 2.0
+    A = np.array([[-c, 0.0, c], [0.0, c, c], [0.0, 0.0, 1.0]])
+    H = A @ M[:3, :3] @ np.linalg.inv(A)
+    return H / H[2, 2]
+
+
+def consistency_exact(img1: np.ndarray, img2: np.ndarray, P1: np.ndarray,
+                      P2: np.ndarray) -> Dict[str, float]:
+    """Masked overlap PSNR between two [0,1] predictions of a rotation-only
+    view pair, under the exact homography (both warp directions averaged,
+    mirroring consistency_pair_metrics)."""
+    W = img1.shape[1]
+    h12 = exact_rotation_homography(P1, P2, W)
+    h21 = exact_rotation_homography(P2, P1, W)
+    ones = np.ones(img1.shape[:2], np.float32)
+    m1 = (warp(np.stack([ones] * 3, -1), h21)[..., 0] > 0.999).astype(np.float32)
+    m2 = (warp(np.stack([ones] * 3, -1), h12)[..., 0] > 0.999).astype(np.float32)
+    w2in1 = warp(img2, h21)
+    w1in2 = warp(img1, h12)
+    a = psnr_masked((w2in1 * m1[..., None])[None],
+                    (img1 * m1[..., None])[None], m1[None])
+    b = psnr_masked((w1in2 * m2[..., None])[None],
+                    (img2 * m2[..., None])[None], m2[None])
+    return {"PSNR_vis": 0.5 * (float(a[0]) + float(b[0])),
+            "overlap_frac": 0.5 * float(m1.mean() + m2.mean())}
+
+
 def consistency_pair_metrics(
     img1: np.ndarray,
     img2: np.ndarray,

@@ -1,0 +1,259 @@
+"""Capability report for a stitched relay checkpoint.
+
+Measures the product claim the reference makes with its eval harness
+(docs/REALESTATE.md:72-101) on held-out panorama worlds:
+
+  1. gen_paired: outpainted novel-view PSNR on held-out pairs, against the
+     no-outpaint baseline (the decode-splat-only path,
+     z_buffermodel.py:382-383) -- outpainting must *win*, overall and
+     especially on the background region;
+  2. gen_two_imgs consistency: exact-homography masked PSNR between full-
+     and half-rotation predictions of the same content
+     (calc_errors_consistency_homography.py protocol with ground-truth
+     homographies, eval/homography.py:exact_rotation_homography);
+  3. the demo CLI scene walk on a held-out world: adjacent-view consistency
+     from the saved PNGs + PSNR against ground-truth renders of the same
+     world (measurable here because the world is procedural -- a stronger
+     check than anything the reference ships).
+
+Writes <evidence_dir>/relay_report.json + PNG strips; returns the summary.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Dict, List
+
+import jax
+import numpy as np
+
+from pixelsynth_tpu.config import Config
+
+
+def _psnr01(pred01: np.ndarray, gt01: np.ndarray) -> float:
+    mse = float(np.mean((pred01 - gt01) ** 2))
+    return 10.0 * np.log10(1.0 / max(mse, 1e-10))
+
+
+def _psnr01_masked(pred01, gt01, mask) -> float:
+    m = mask[..., None].astype(np.float64)
+    denom = max(m.sum() * pred01.shape[-1], 1.0)
+    mse = float((((pred01 - gt01) ** 2) * m).sum() / denom)
+    return 10.0 * np.log10(1.0 / max(mse, 1e-10))
+
+
+def _to01(img: np.ndarray) -> np.ndarray:
+    return np.clip(np.asarray(img, np.float32) * 0.5 + 0.5, 0, 1)
+
+
+def _val_batches(data_dir: str, n_items: int, batch: int) -> List[Dict]:
+    paths = sorted(glob.glob(os.path.join(data_dir, "val_*.npz")))
+    items = []
+    for p in paths:
+        shard = np.load(p)
+        n = shard["images"].shape[0]
+        for i in range(n):
+            imgs = shard["images"][i].astype(np.float32) / 255.0 * 2.0 - 1.0
+            items.append({
+                "input_img": imgs[0], "output_img": imgs[1],
+                "K": shard["K"], "Kinv": shard["Kinv"],
+                "P_in": shard["P"][i, 0], "Pinv_in": shard["Pinv"][i, 0],
+                "P_out": shard["P"][i, 1], "Pinv_out": shard["Pinv"][i, 1],
+            })
+            if len(items) >= n_items:
+                break
+        if len(items) >= n_items:
+            break
+    return [
+        {k: np.stack([it[k] for it in items[i:i + batch]]) for k in items[0]}
+        for i in range(0, len(items), batch)
+    ]
+
+
+def paired_eval(ps, variables, gen, batches: List[Dict]) -> Dict[str, float]:
+    """gen_paired_img vs the no-outpaint baseline on held-out pairs."""
+    import jax.numpy as jnp
+
+    from pixelsynth_tpu.pipeline import CloudState
+
+    psnrs, psnrs_bg, base, base_bg = [], [], [], []
+    rng = jax.random.PRNGKey(123)
+    for b in batches:
+        cams = {k: jnp.asarray(b[k]) for k in
+                ("K", "Kinv", "P_in", "Pinv_in", "P_out")}
+        img = jnp.asarray(b["input_img"])
+        B = img.shape[0]
+        cloud = CloudState.empty(B, ps.W * ps.W, 3)
+        rng, sub = jax.random.split(rng)
+        best, out = gen.generate_view(img, cams, cloud, None,
+                                      jnp.asarray(b["Pinv_in"]), sub)
+        bg = np.asarray(out["bg"])
+        gt01 = _to01(b["output_img"])
+        pred01 = _to01(best)
+        nop = ps.render_no_outpaint(variables, img, cams,
+                                    rngs={"noise": jax.random.fold_in(sub, 1)})
+        nop01 = _to01(nop["PredImg"])
+        for i in range(B):
+            psnrs.append(_psnr01(pred01[i], gt01[i]))
+            base.append(_psnr01(nop01[i], gt01[i]))
+            if bg[i].mean() > 0.02:
+                psnrs_bg.append(_psnr01_masked(pred01[i], gt01[i], bg[i]))
+                base_bg.append(_psnr01_masked(nop01[i], gt01[i], bg[i]))
+    return {
+        "paired_psnr": float(np.mean(psnrs)),
+        "paired_psnr_bg": float(np.mean(psnrs_bg)) if psnrs_bg else None,
+        "baseline_no_outpaint_psnr": float(np.mean(base)),
+        "baseline_no_outpaint_psnr_bg": float(np.mean(base_bg)) if base_bg else None,
+        "n_pairs": len(psnrs),
+    }
+
+
+def two_image_consistency(ps, variables, batches: List[Dict],
+                          num_samples: int, temperature: float,
+                          max_items: int = 16) -> Dict[str, float]:
+    """gen_two_imgs + exact-homography overlap PSNR
+    (eval_consistency.py:101-149 protocol)."""
+    import jax.numpy as jnp
+
+    from pixelsynth_tpu.eval.homography import consistency_exact
+    from pixelsynth_tpu.geometry.paths import DIRECTION_ORDER, get_rt_from_rot
+    from pixelsynth_tpu.scene import TwoImageGenerator
+
+    tig = TwoImageGenerator(ps, variables, num_samples=num_samples,
+                            temperature=temperature)
+    rng_np = np.random.default_rng(9)
+    vals, overlaps = [], []
+    done = 0
+    for b in batches:
+        if done >= max_items:
+            break
+        B = b["input_img"].shape[0]
+        dirs = [DIRECTION_ORDER[int(rng_np.integers(8))] for _ in range(B)]
+        outputs = tig.generate_two_imgs(
+            jnp.asarray(b["input_img"]), jnp.asarray(b["K"]),
+            jnp.asarray(b["Kinv"]), jnp.asarray(b["P_in"]),
+            jnp.asarray(b["Pinv_in"]), dirs,
+            rng=jax.random.PRNGKey(17 + done),
+        )
+        full01 = _to01(outputs["PredImg_2"])
+        half01 = _to01(outputs["PredImg_1"])
+        for i in range(B):
+            _, P_full = get_rt_from_rot(dirs[i], b["P_in"][i], 2, 2)
+            _, P_half = get_rt_from_rot(dirs[i], b["P_in"][i], 1, 2)
+            m = consistency_exact(full01[i], half01[i],
+                                  np.asarray(P_full), np.asarray(P_half))
+            vals.append(m["PSNR_vis"])
+            overlaps.append(m["overlap_frac"])
+        done += B
+    return {"consistency_psnr_vis": float(np.mean(vals)),
+            "consistency_overlap_frac": float(np.mean(overlaps)),
+            "n_consistency_items": len(vals)}
+
+
+def scene_walk_metrics(cfg: Config, workdir: str, scene_dir: str,
+                       evidence_dir: str) -> Dict[str, float]:
+    """Metrics over the demo CLI's saved scene PNGs: adjacent-view
+    exact-homography consistency + PSNR against GT renders of the same
+    held-out world."""
+    from PIL import Image
+
+    from pixelsynth_tpu.data.demo_data import demo_cameras
+    from pixelsynth_tpu.data.panorama import render_view
+    from pixelsynth_tpu.eval.homography import consistency_exact
+    from pixelsynth_tpu.geometry.paths import get_rt_from_rot, num_split_for_direction
+
+    wfile = np.load(os.path.join(workdir, "demo_world.npz"))
+    world = {"texture": wfile["texture"],
+             "base_radius": float(wfile["base_radius"]),
+             "waves": [tuple(w) for w in wfile["waves"]]}
+    cams = demo_cameras(1.0)
+    P_in = cams["P"][0]
+    W = cfg.model.W
+
+    def load_png(direction, i):
+        p = os.path.join(scene_dir, "scene",
+                         f"output_image_{direction}_{i:04d}.png")
+        if not os.path.exists(p):
+            return None
+        return np.asarray(Image.open(p), np.float32)[..., :3] / 255.0
+
+    adj, gt_psnrs = [], []
+    strip = []
+    for direction in cfg.sample.directions:
+        if direction in ("S", "C"):
+            continue
+        n = num_split_for_direction(direction, cfg.sample.num_split)
+        prev = None
+        prev_P = None
+        for i in range(1, n + 1):
+            img = load_png(direction, i)
+            if img is None:
+                continue
+            _, P_i = get_rt_from_rot(direction, P_in, i, n)
+            P_i = np.asarray(P_i)
+            gt, _ = render_view(world, P_i, W)
+            gt_psnrs.append(_psnr01(img, _to01(gt)))
+            if prev is not None:
+                m = consistency_exact(prev, img, prev_P, P_i)
+                adj.append(m["PSNR_vis"])
+            if direction in ("R", "L") and i % 2 == 0:
+                strip.append((img * 255).astype(np.uint8))
+            prev, prev_P = img, P_i
+    if strip:
+        from pixelsynth_tpu.eval.harness import save_png
+
+        save_png(os.path.join(evidence_dir, "scene_strip.png"),
+                 np.concatenate(strip, axis=1) / 255.0)
+    return {
+        "scene_adjacent_consistency_psnr": float(np.mean(adj)) if adj else None,
+        "scene_gt_psnr": float(np.mean(gt_psnrs)) if gt_psnrs else None,
+        "n_scene_views_scored": len(gt_psnrs),
+    }
+
+
+def build_report(cfg: Config, workdir: str, evidence_dir: str, *,
+                 num_samples: int = 4, scene_num_split: int = 8,
+                 smoke: bool = False) -> Dict:
+    from pixelsynth_tpu import demo as demo_cli
+    from pixelsynth_tpu.scene import SceneGenerator
+
+    npz = os.path.join(evidence_dir, "stitched.npz")
+    ps, variables = demo_cli.load_model(npz)
+    cfg = ps.cfg
+    gen = SceneGenerator(ps, variables, num_samples=num_samples,
+                         temperature=cfg.sample.temperature)
+
+    report: Dict = {"config_W": cfg.model.W, "num_samples": num_samples,
+                    "temperature": cfg.sample.temperature,
+                    "time": time.time()}
+
+    batches = _val_batches(os.path.join(workdir, "shards"),
+                           n_items=8 if smoke else 48, batch=4 if smoke else 8)
+    t0 = time.time()
+    report.update(paired_eval(ps, variables, gen, batches))
+    report["paired_eval_seconds"] = time.time() - t0
+
+    t0 = time.time()
+    report.update(two_image_consistency(
+        ps, variables, batches, num_samples, cfg.sample.temperature,
+        max_items=4 if smoke else 16))
+    report["consistency_seconds"] = time.time() - t0
+
+    # the actual demo CLI, end to end, on the held-out world
+    scene_dir = os.path.join(evidence_dir, "scene_out")
+    t0 = time.time()
+    demo_cli.main([
+        "--img", os.path.join(workdir, "demo_input.png"),
+        "--mode", "gen_scene", "--ckpt-dir", npz,
+        "--result-folder", scene_dir,
+        "--num-samples", str(num_samples), "--seed", "0",
+    ])
+    report["scene_walk_seconds"] = time.time() - t0
+    report.update(scene_walk_metrics(cfg, workdir, scene_dir, evidence_dir))
+
+    with open(os.path.join(evidence_dir, "relay_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report

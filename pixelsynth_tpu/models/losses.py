@@ -169,6 +169,12 @@ def synthesis_loss(
             raise ValueError(f"unknown loss {name}")
         total = total + lam * v
     out["psnr"] = psnr(pred, gt)
+    # standard [0,1]-range per-channel PSNR alongside the reference's
+    # channel-summed [-1,1] convention (the two differ by ~10.8 dB;
+    # curves are unreadable without both)
+    p01, g01 = pred * 0.5 + 0.5, gt * 0.5 + 0.5
+    mse01 = jnp.maximum(jnp.mean((p01 - g01) ** 2), 1e-10)
+    out["psnr_std"] = 10.0 * jnp.log10(1.0 / mse01)
     out["ssim"] = ssim(pred, gt)
     out["Total Loss"] = total
     return out

@@ -44,45 +44,49 @@ def _pono(x, eps=1e-5):
     return (x - mean) / jnp.sqrt(var + eps)
 
 
-def _masked_conv_vmem(h, m, w, b, *, H, W, k, cdt):
-    """h (HW, Cin) f32 in VMEM -> (HW, Cout) f32; m (H, W, k2).
+def _masked_conv_vmem(h, m, w, b, *, G, H, W, k, cdt):
+    """h (G*HW, Cin) f32 in VMEM -> (G*HW, Cout) f32; m (G, H, W, k2).
 
     Elementwise math stays f32 (Mosaic lacks bf16 compares); only the dot
-    operands are cast to the compute dtype."""
+    operands are cast to the compute dtype.  G images fold into the MXU
+    rows of every tap dot."""
     half = k // 2
     Cin = h.shape[-1]
     Cout = w.shape[-1]
-    hp = jnp.pad(h.reshape(H, W, Cin), ((half, half), (half, half), (0, 0)))
-    acc = jnp.zeros((H * W, Cout), jnp.float32)
+    hp = jnp.pad(h.reshape(G, H, W, Cin),
+                 ((0, 0), (half, half), (half, half), (0, 0)))
+    acc = jnp.zeros((G * H * W, Cout), jnp.float32)
     for i in range(k):
         for j in range(k):
             t = i * k + j
             dr, dc = i - half, j - half
-            xs = hp[half + dr: half + dr + H,
-                    half + dc: half + dc + W, :].reshape(H * W, Cin)
+            xs = hp[:, half + dr: half + dr + H,
+                    half + dc: half + dc + W, :].reshape(G * H * W, Cin)
             z = jnp.dot(xs.astype(cdt), w[t],
                         preferred_element_type=jnp.float32)
-            acc = acc + m[:, :, t].reshape(H * W, 1) * z
+            acc = acc + m[:, :, :, t].reshape(G * H * W, 1) * z
     return acc + b
 
 
 def _kernel(og_ref, a_ref, m_ref, w1_ref, b1_ref, ws_ref, bs_ref, w2_ref,
-            b2_ref, out_ref, *, H, W, F, k, has_skip, cdt):
-    og = og_ref[0].reshape(H * W, F)
-    m = m_ref[0]
+            b2_ref, out_ref, *, G, H, W, F, k, has_skip, cdt):
+    og = og_ref[:].reshape(G * H * W, F)
+    m = m_ref[:]
     x = _concat_elu(og)
-    x = _masked_conv_vmem(x, m, w1_ref[:], b1_ref[:], H=H, W=W, k=k, cdt=cdt)
+    x = _masked_conv_vmem(x, m, w1_ref[:], b1_ref[:], G=G, H=H, W=W, k=k,
+                          cdt=cdt)
     x = _pono(x)
     if has_skip:
-        a = a_ref[0].reshape(H * W, F)
+        a = a_ref[:].reshape(G * H * W, F)
         sk = jnp.dot(_concat_elu(a).astype(cdt), ws_ref[:],
                      preferred_element_type=jnp.float32) + bs_ref[:]
         x = x + sk
     x = _concat_elu(x)
-    y = _masked_conv_vmem(x, m, w2_ref[:], b2_ref[:], H=H, W=W, k=k, cdt=cdt)
+    y = _masked_conv_vmem(x, m, w2_ref[:], b2_ref[:], G=G, H=H, W=W, k=k,
+                          cdt=cdt)
     a_out = _pono(y[:, :F])
     gate = jax.nn.sigmoid(y[:, F:])
-    out_ref[0] = (og + a_out * gate).reshape(H, W, F).astype(out_ref.dtype)
+    out_ref[:] = (og + a_out * gate).reshape(G, H, W, F).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
@@ -109,18 +113,24 @@ def gated_resnet_pallas(
         w_skip = jnp.zeros((2 * F, F), cdt)
         b_skip = jnp.zeros((F,), jnp.float32)
 
-    kernel = functools.partial(_kernel, H=H, W=W, F=F, k=k,
+    # working set per image (f32): og + a + concat_elu(2F) + padded copy
+    # + conv acc (2F) + out, plus the mask
+    from pixelsynth_tpu.ops.masked_conv_pallas import pick_batch_group
+
+    per_image = H * W * 4 * (F * 4 + 2 * F * 3 + K2)
+    G = pick_batch_group(B, per_image)
+    kernel = functools.partial(_kernel, G=G, H=H, W=W, F=F, k=k,
                                has_skip=has_skip, cdt=cdt)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, H, W, F), jnp.float32),
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, H, W, F), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((G, H, W, F), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W, F), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((G, H, W, F), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W, K2), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((G, H, W, K2), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K2, 2 * F, F), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -132,7 +142,7 @@ def gated_resnet_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * F,), lambda b: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W, F), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((G, H, W, F), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
     )(og.astype(jnp.float32), a.astype(jnp.float32), m.astype(jnp.float32),

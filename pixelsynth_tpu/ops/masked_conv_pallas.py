@@ -23,29 +23,57 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, m_ref, w_ref, b_ref, out_ref, *, H, W, Cin, Cout, k,
+def _kernel(x_ref, m_ref, w_ref, b_ref, out_ref, *, G, H, W, Cin, Cout, k,
             dilation, acc_dtype):
+    """One program = G images: the per-tap dot is (G*H*W, Cin) @ (Cin, Cout),
+    folding the candidate population into MXU rows.  G=1 reproduces the
+    round-2 per-image kernel; at population sizes the per-image grid was
+    the bottleneck -- 16 serialized tiny-matmul programs per launch."""
     half = k // 2
     pad = half * dilation
-    x = x_ref[0]                      # (H, W, Cin)
-    xp = jnp.pad(x, ((pad, pad), (pad, pad), (0, 0)))
-    acc = jnp.zeros((H * W, Cout), acc_dtype)
+    x = x_ref[:]                      # (G, H, W, Cin)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    acc = jnp.zeros((G * H * W, Cout), acc_dtype)
     for i in range(k):
         for j in range(k):
             t = i * k + j
             dr = (i - half) * dilation
             dc = (j - half) * dilation
-            xs = xp[pad + dr: pad + dr + H,
-                    pad + dc: pad + dc + W, :].reshape(H * W, Cin)
+            xs = xp[:, pad + dr: pad + dr + H,
+                    pad + dc: pad + dc + W, :].reshape(G * H * W, Cin)
             z = jnp.dot(xs, w_ref[t], preferred_element_type=acc_dtype)
-            mt = m_ref[0, :, :, t].reshape(H * W, 1).astype(acc_dtype)
+            mt = m_ref[:, :, :, t].reshape(G * H * W, 1).astype(acc_dtype)
             acc = acc + mt * z
     acc = acc + b_ref[:].astype(acc_dtype)
-    out_ref[0] = acc.reshape(H, W, Cout).astype(out_ref.dtype)
+    out_ref[:] = acc.reshape(G, H, W, Cout).astype(out_ref.dtype)
 
 
 def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
+
+
+def pick_batch_group(B: int, per_image_bytes: int,
+                     budget: int | None = None) -> int:
+    """Largest divisor of B whose VMEM working set fits the budget.
+
+    Mosaic's scoped-vmem accounting charges roughly 2x the naive block
+    estimate (double buffering + slice temporaries), so the default budget
+    is deliberately conservative; PIXELSYNTH_PALLAS_GROUP forces a value
+    for tuning."""
+    import os
+
+    forced = os.environ.get("PIXELSYNTH_PALLAS_GROUP")
+    if forced:
+        g = min(B, int(forced))
+        while B % g:
+            g -= 1
+        return g
+    if budget is None:
+        budget = 4 * 2 ** 20
+    g = max(1, min(B, budget // max(per_image_bytes, 1)))
+    while B % g:
+        g -= 1
+    return g
 
 
 # ---------------------------------------------------------------------------
@@ -143,25 +171,29 @@ def locally_masked_conv2d_pallas(
     if bias is None:
         bias = jnp.zeros((Cout,), jnp.float32)
 
+    # x (cdt) + padded copy + mask + f32 acc + out
+    itemsize = 2 if cdt == jnp.bfloat16 else 4
+    per_image = H * W * (Cin * 2 * itemsize + K2 * itemsize + Cout * 8)
+    G = pick_batch_group(B, per_image)
     kernel = functools.partial(
-        _kernel, H=H, W=W, Cin=Cin, Cout=Cout, k=k, dilation=dilation,
+        _kernel, G=G, H=H, W=W, Cin=Cin, Cout=Cout, k=k, dilation=dilation,
         acc_dtype=jnp.float32,
     )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), jnp.float32),
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((1, H, W, Cin), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((G, H, W, Cin), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W, K2), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((G, H, W, K2), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K2, Cin, Cout), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Cout,), lambda b: (0,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W, Cout), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((G, H, W, Cout), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_use_interpret(),
     )(x.astype(cdt), m.astype(cdt), weight.astype(cdt), bias)

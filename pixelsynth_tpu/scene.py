@@ -61,6 +61,21 @@ class SceneGenerator:
         self.cloud_capacity = cloud_capacity
         self.classifier = ResNet18()
         self.classifier_vars = classifier_vars
+        if classifier_vars is None and self.num_samples > 1:
+            # the reference always re-ranks with D_Fake + Places365 entropy
+            # (z_buffermodel.py:244-276, demo.py:233-243); without classifier
+            # weights the entropy term is zero and ranking silently becomes
+            # discriminator-only -- say so instead of degrading quietly
+            import warnings
+
+            warnings.warn(
+                "SceneGenerator: no Places365 classifier weights supplied; "
+                "candidate re-ranking uses the discriminator score only "
+                "(reference combines 0.5*D_Fake + 0.5*classifier entropy). "
+                "Export resnet18_places365.npz with "
+                "tools/export_torch_weights.py and pass classifier_vars.",
+                stacklevel=2,
+            )
         self.mesh = mesh
         self._view_step = jax.jit(self._view_step_impl)
 
@@ -226,6 +241,10 @@ class SceneGenerator:
                 )
                 key = f"PredImg_{direction}_{numerator}"
                 outputs[key] = np.asarray(best_img)
+                # splatted-feature image, every view (z_buffermodel.py:524,575)
+                outputs[f"FeaturesImg_{direction}_{numerator}"] = np.asarray(
+                    out["gen_fs"]
+                )
                 if numerator == n_split:
                     outputs[f"PredDepthImg_{direction}_{numerator}"] = np.asarray(
                         out["depth"]

@@ -191,14 +191,23 @@ def export_habitat(out_dir: str, *, scenes_config: str, num_pairs: int,
 
 def export_synthetic(out_dir: str, *, num_pairs: int, shard_size: int,
                      W: int, max_rotation: float, seed: int,
-                     split: str) -> int:
+                     split: str, world: str = "plane") -> int:
+    """world="plane": round-1 textured-plane fixtures; world="pano":
+    closed panorama worlds with exact geometry + GT depth
+    (data/panorama.py) -- the navigable fixture the end-to-end relay
+    trains and demos on."""
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     written = 0
     shard_idx = 0
     while written < num_pairs:
         n = min(shard_size, num_pairs - written)
-        shard = synthesize_shard(rng, n, W, max_rotation)
+        if world == "pano":
+            from pixelsynth_tpu.data.panorama import synthesize_pano_shard
+
+            shard = synthesize_pano_shard(rng, n, W, max_rotation)
+        else:
+            shard = synthesize_shard(rng, n, W, max_rotation)
         np.savez(os.path.join(out_dir, f"{split}_{shard_idx:05d}.npz"), **shard)
         written += n
         shard_idx += 1
@@ -218,12 +227,15 @@ def main(argv: Optional[list] = None):
     p.add_argument("--split", default="train")
     p.add_argument("--synthetic", action="store_true",
                    help="write procedurally rendered shards (no habitat)")
+    p.add_argument("--world", default="plane", choices=["plane", "pano"],
+                   help="synthetic world type (pano = navigable panorama "
+                        "worlds with GT depth, data/panorama.py)")
     args = p.parse_args(argv)
     kw = dict(num_pairs=args.num_pairs, shard_size=args.shard_size,
               W=args.width, max_rotation=args.max_rotation, seed=args.seed,
               split=args.split)
     if args.synthetic:
-        n = export_synthetic(args.out, **kw)
+        n = export_synthetic(args.out, world=args.world, **kw)
     else:
         if not args.scenes_config:
             raise SystemExit("--scenes-config required without --synthetic")

@@ -64,7 +64,14 @@ def linear_kernel(w) -> np.ndarray:
 
 
 def resolve_weight_norm(sd: Mapping, prefix: str) -> np.ndarray:
-    """Fold torch weight_norm: W = g * v / ||v|| (norm over dims != 0)."""
+    """Fold torch weight_norm: W = g * v / ||v|| (norm over dims != 0).
+
+    Falls back to the plain ``weight`` when the layer was built without
+    weight_norm -- PixelSynth instantiates OurPixelCNN with
+    weight_norm=False (z_buffermodel.py:63-74), so its conv weights are
+    stored plain while nin_out keeps weight_norm (model.py:99-108)."""
+    if f"{prefix}.weight_g" not in sd:
+        return _np(sd[f"{prefix}.weight"])
     g = _np(sd[f"{prefix}.weight_g"])
     v = _np(sd[f"{prefix}.weight_v"])
     axes = tuple(range(1, v.ndim))

@@ -214,10 +214,14 @@ def evidence_dpr(out_dir: str, *, W: int = 64, steps: int = 4000,
         state, m, key = step_fn(state, batch, key)
         if it % log_every == 0 or it == steps - 1:
             key, sub = jax.random.split(key)
-            psnrs = [float(eval_fn(state, b, sub)["psnr"]) for b in fixed]
-            psnr = float(np.mean(psnrs))
+            evals = [eval_fn(state, b, sub) for b in fixed]
+            psnr = float(np.mean([float(e["psnr"]) for e in evals]))
+            # reference channel-summed [-1,1] convention AND standard
+            # [0,1] PSNR (~10.8 dB apart) so the curve is legible
+            psnr_std = float(np.mean([float(e["psnr_std"]) for e in evals]))
             best = max(best, psnr)
-            write(it, psnr=psnr, total_loss=float(m["Total Loss"]),
+            write(it, psnr=psnr, psnr_std=psnr_std,
+                  total_loss=float(m["Total Loss"]),
                   l1=float(m.get("L1", 0.0)))
     f.close()
     print(f"dpr: best train-set PSNR {best:.2f} "

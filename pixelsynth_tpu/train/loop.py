@@ -97,6 +97,7 @@ def make_batch_source(cfg: Config, split: str = "train") -> Callable[[], Dict]:
         gen = PreRenderedEpisodes(
             cfg.train_data_path,
             seed=cfg.train.seed + (10_000 if split != "train" else 0),
+            split=split,  # val_*.npz shards are a true held-out split
         )
 
         def fn():
@@ -127,6 +128,8 @@ def run_dpr(
     val_iters: Optional[int] = None,
     use_mesh: bool = True,
     log_fn: Callable[[str], None] = print,
+    train_ar: bool = True,
+    init_vars: Optional[Dict] = None,
 ) -> Dict[str, float]:
     """Stage-2 training driver.  Returns the last metrics dict.
 
@@ -134,14 +137,25 @@ def run_dpr(
     train video list, mirroring toval at data/realestate10k.py:298-310;
     synthetic: a disjoint stream) over cfg.train.val_iters batches
     (reference: 50, train_dpr.py:170), and best-by-PSNR checkpoint
-    selection keys off that val PSNR (train_dpr.py:316-322)."""
+    selection keys off that val PSNR (train_dpr.py:316-322).
+
+    train_ar=False is the reference's --pretrain mode (no AR head loss,
+    train_dpr.py:436; used before generation orders exist).  init_vars
+    overrides initial variable trees by name -- the relay's stage chaining
+    (frozen trained "vqvae" per train_dpr.py:422-434, stage-3 "pixelcnn"
+    per demo.py:198-243, or a pretrain checkpoint's trees)."""
     guard = PreemptionGuard()
     ps = PixelSynth(cfg)
     key = jax.random.PRNGKey(cfg.train.seed)
     variables = ps.init_variables(key)
+    if init_vars:
+        unknown = set(init_vars) - set(variables)
+        if unknown:
+            raise KeyError(f"init_vars has unknown trees: {sorted(unknown)}")
+        variables = {**variables, **init_vars}
     state, tx_g, tx_d = create_dpr_state(ps, variables)
-    step_fn = make_dpr_train_step(ps, tx_g, tx_d)
-    eval_fn = make_dpr_eval_step(ps)
+    step_fn = make_dpr_train_step(ps, tx_g, tx_d, train_ar=train_ar)
+    eval_fn = make_dpr_eval_step(ps, train_ar=train_ar)
     logger = MetricsLogger(workdir, "dpr")
 
     ckpt = CheckpointManager(
@@ -215,9 +229,15 @@ def run_dpr(
 
 def run_vqvae(
     cfg: Config, workdir: str, *, epochs: int = 1, iters_per_epoch: int = 100,
-    lr: float = 3e-4, use_mesh: bool = True, log_fn=print,
+    lr: float = 3e-4, val_iters: int = 8, sample_grid_every: int = 1,
+    use_mesh: bool = True, log_fn=print,
 ) -> Dict[str, float]:
-    """Stage-1 driver (train_vqvae.py)."""
+    """Stage-1 driver (train_vqvae.py).
+
+    Per epoch: a held-out val MSE pass (the reference all_gathers val MSE
+    stats, train_vqvae.py:50-55) keys best-checkpoint selection, and a
+    input|recon sample grid is written (the per-100-iter grids at
+    train_vqvae.py:68-84)."""
     from pixelsynth_tpu.models.vqvae import VQVAETop
     from pixelsynth_tpu.train.vqvae import create_vqvae_state, make_vqvae_train_step
 
@@ -234,18 +254,25 @@ def run_vqvae(
         init_batch=init_fn()["input_img"],  # data-dependent codebook init
     )
     step_fn = make_vqvae_train_step(model, tx)
+
+    @jax.jit
+    def recon_fn(variables, img):
+        recon, _ = model.apply(variables, img, train=False)
+        return recon
+
     ckpt = CheckpointManager(os.path.join(workdir, "vqvae"), max_to_keep=2,
-                             best_metric="mse", best_mode="min")
+                             best_metric="val_mse", best_mode="min")
     if ckpt.latest_step() is not None:
         state = ckpt.restore(state)
+    logger = MetricsLogger(workdir, "vqvae")
 
     mesh = make_mesh(cfg.mesh) if use_mesh else None
     if mesh is not None:
         state = replicate(state, mesh)
     batch_fn = make_batch_source(cfg, "train")
+    val_batch_fn = make_batch_source(cfg, "val")
     metrics = {}
     m: Dict = {}
-    start = int(state.step)
     for epoch in range(epochs):
         for it in range(iters_per_epoch):
             img = batch_fn()["input_img"]
@@ -255,8 +282,35 @@ def run_vqvae(
             if guard.requested:
                 break
         metrics = {k: float(v) for k, v in m.items()}
+
+        # held-out val MSE -> best-checkpoint selection
+        val_mses = []
+        vimg = None
+        for _ in range(max(1, val_iters)):
+            vimg = jnp.asarray(val_batch_fn()["input_img"])
+            if mesh is not None:
+                vimg = shard_batch(vimg, mesh)
+            recon = recon_fn(state.variables, vimg)
+            val_mses.append(float(jnp.mean((recon - vimg) ** 2)))
+            if guard.requested:
+                break
+        metrics["val_mse"] = float(np.mean(val_mses))
+
+        if sample_grid_every and (epoch + 1) % sample_grid_every == 0:
+            # input row | recon row strip (train_vqvae.py:68-84)
+            from pixelsynth_tpu.eval.harness import save_png
+
+            n = min(8, vimg.shape[0])
+            recon = np.asarray(recon_fn(state.variables, vimg[:n]))
+            top = np.concatenate(list(np.asarray(vimg[:n])), axis=1)
+            bot = np.concatenate(list(np.clip(recon, -1, 1)), axis=1)
+            save_png(os.path.join(workdir, "vqvae_samples",
+                                  f"epoch_{epoch + 1:04d}.png"),
+                     np.concatenate([top, bot], axis=0))
+
         log_fn(f"vqvae epoch {epoch} " +
                " ".join(f"{k}={v:.5f}" for k, v in metrics.items()))
+        logger.write(epoch + 1, metrics)
         ckpt.save(epoch + 1, jax.device_get(state), cfg, metrics)
         if guard.requested:
             break
@@ -337,14 +391,23 @@ def lmconv_sample_preview(
 def run_lmconv(
     cfg: Config, workdir: str, *, epochs: int = 1, iters_per_epoch: int = 100,
     codes_path: Optional[str] = None, orders_path: Optional[str] = None,
-    mask_pool_batches: int = 5, use_mesh: bool = True, log_fn=print,
+    mask_pool_batches: int = 5, val_fraction: float = 0.05,
+    val_iters: int = 8, preview_every: int = 0,
+    vq_variables: Optional[Dict] = None, use_mesh: bool = True, log_fn=print,
 ) -> Dict[str, float]:
     """Stage-3 driver (train_lmconv.py:662-839).
 
     codes_path: .npy of (N, 32, 32) int codes (extract_code output);
     orders_path: .npy of (M, 1024, 2) generation orders
     (extract_pixcnn_orders output).  Without paths, synthesizes random
-    codes/orders (smoke mode)."""
+    codes/orders (smoke mode).
+
+    Reference-parity features: parameter EMA via cfg.model.lmconv.ema_decay
+    (train_lmconv.py:733, utils.py:635-653; the EMA tree is checkpointed and
+    preferred at stitch time), a held-out-codes val bpd pass per epoch
+    keying best-checkpoint selection (test() at train_lmconv.py:765-791),
+    and periodic inpainting sample previews decoded through a frozen VQ-VAE
+    when `vq_variables` is given (train_lmconv.py:812-834)."""
     from pixelsynth_tpu.models.lmconv import LMPixelCNN
     from pixelsynth_tpu.ops.orders import masks_for_orders_batch
     from pixelsynth_tpu.train.lmconv import create_lmconv_state, make_lmconv_train_step
@@ -359,13 +422,25 @@ def run_lmconv(
         dropout_prob=l.dropout_prob, num_classes=l.num_classes,
     )
     state, tx = create_lmconv_state(
-        model, jax.random.PRNGKey(cfg.train.seed), rows=rows, cols=cols
+        model, jax.random.PRNGKey(cfg.train.seed), rows=rows, cols=cols,
+        ema_decay=l.ema_decay,
     )
-    step_fn = make_lmconv_train_step(model, tx)
+    step_fn = make_lmconv_train_step(model, tx, ema_decay=l.ema_decay)
+
+    @jax.jit
+    def val_ce(variables, codes, masks):
+        oh = jax.nn.one_hot(codes, l.num_classes)
+        logits = model.apply(variables, oh, masks[:, 0], masks[:, 1],
+                             masks[:, 2], train=False)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, codes[..., None], axis=-1)[..., 0]
+        return -jnp.mean(ll)
+
     ckpt = CheckpointManager(os.path.join(workdir, "lmconv"), max_to_keep=2,
-                             best_metric="bpd", best_mode="min")
+                             best_metric="val_bpd", best_mode="min")
     if ckpt.latest_step() is not None:
         state = ckpt.restore(state)
+    logger = MetricsLogger(workdir, "lmconv")
 
     rng = np.random.default_rng(cfg.train.seed)
     if codes_path:
@@ -379,6 +454,12 @@ def run_lmconv(
 
         orders_all = np.stack(augment_orders(raster_scan_order(rows, cols),
                                              rows, cols))
+
+    # held-out tail split for the per-epoch val bpd pass
+    n_val = max(cfg.train.batch_size,
+                int(len(codes_all) * val_fraction)) if len(codes_all) > 2 * cfg.train.batch_size else 0
+    codes_val = codes_all[len(codes_all) - n_val:] if n_val else codes_all
+    codes_all = codes_all[: len(codes_all) - n_val] if n_val else codes_all
 
     # mask pool: masks of the first mask_pool_batches x batch orders,
     # randomly reassigned per image (train_lmconv.py:675-701)
@@ -408,8 +489,37 @@ def run_lmconv(
             if guard.requested:
                 break
         metrics = {k: float(v) for k, v in m.items()}
+
+        # val bpd over the held-out codes with random pool masks
+        # (train_lmconv.py:765-791); EMA params when enabled, matching the
+        # reference's sampling-time parameter choice
+        val_vars = state.variables
+        if state.ema_params is not None:
+            val_vars = {**state.variables, "params": state.ema_params}
+        ces = []
+        for _ in range(max(1, val_iters)):
+            bidx = rng.integers(len(codes_val), size=cfg.train.batch_size)
+            midx = rng.integers(len(mask_pool), size=cfg.train.batch_size)
+            ces.append(float(val_ce(
+                val_vars, jnp.asarray(codes_val[bidx], jnp.int32),
+                jnp.asarray(mask_pool[midx], jnp.float32))))
+            if guard.requested:
+                break
+        metrics["val_bpd"] = float(np.mean(ces) / np.log(2.0))
+
+        if preview_every and (epoch + 1) % preview_every == 0:
+            pidx = rng.integers(len(orders_all), size=min(4, len(codes_val)))
+            lmconv_sample_preview(
+                cfg, val_vars, vq_variables,
+                codes_val[: len(pidx)], orders_all[pidx],
+                os.path.join(workdir, "lmconv_samples",
+                             f"epoch_{epoch + 1:04d}.png"),
+                rng=jax.random.fold_in(key, epoch),
+            )
+
         log_fn(f"lmconv epoch {epoch} " +
                " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+        logger.write(epoch + 1, metrics)
         ckpt.save(epoch + 1, jax.device_get(state), cfg, metrics)
         if guard.requested:
             break

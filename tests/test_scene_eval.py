@@ -198,3 +198,40 @@ def test_eval_consistency_batched(gen, tmp_path):
             os.path.join(out_dir, f"{i:04d}", f"output_image_{d}_0001.png"))
         assert os.path.exists(
             os.path.join(out_dir, f"{i:04d}", f"output_image_{d}_0002.png"))
+
+
+def test_rank_uses_entropy_and_missing_classifier_warns():
+    """Re-ranking semantics (z_buffermodel.py:244-276): with equal
+    discriminator scores the lowest-entropy candidate wins; building a
+    generator without Places365 weights warns loudly instead of silently
+    degrading to discriminator-only ranking."""
+    import warnings
+
+    import numpy as np
+
+    from pixelsynth_tpu.sampling import rank_candidates
+
+    d = np.array([0.0, 0.1, 0.2, 0.3])
+    # zero entropy (the no-classifier degradation): ranking collapses to
+    # a constant total and argmax falls to candidate 0
+    assert rank_candidates(d, np.zeros(4)) == 0
+    # a real entropy signal changes the winner: candidate 2 combines a
+    # good discriminator rank with low entropy
+    assert rank_candidates(d, np.array([0.1, 3.0, 2.0, 2.5])) == 2
+
+    from pixelsynth_tpu.config import Config
+    from pixelsynth_tpu.pipeline import PixelSynth
+    from pixelsynth_tpu.scene import SceneGenerator
+
+    cfg = Config()
+    cfg.model.W = 64
+    cfg.model.lmconv.obs = (3, 8, 8)
+    ps = PixelSynth(cfg)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        SceneGenerator(ps, {}, num_samples=4, classifier_vars=None)
+    assert any("discriminator score only" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        SceneGenerator(ps, {}, num_samples=1, classifier_vars=None)
+    assert not any("discriminator" in str(w.message) for w in rec)

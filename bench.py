@@ -147,10 +147,22 @@ def main():
         bg_p = jnp.repeat(jnp.asarray(bg), pop, 0)
         masks_p = jnp.repeat(masks1, pop, 0)
 
-        def logits_fn(cur_codes, filled):
-            return model.apply(variables, None, masks_p[:, 0], masks_p[:, 1],
-                               masks_p[:, 2], codes=cur_codes, filled=filled,
-                               train=False)
+        # measure the SHIPPED sampling path (config sample_backend),
+        # mirroring PixelSynth.make_sampling_logits_fn
+        if l.sample_backend == "fused":
+            from pixelsynth_tpu.ops.lmconv_fused import make_fused_logits_fn
+
+            logits_fn = make_fused_logits_fn(
+                variables, masks_p, nr_resnet=l.nr_resnet,
+                max_dilation=l.max_dilation, num_classes=NC,
+                compute_dtype=l.compute_dtype,
+            )
+        else:
+            def logits_fn(cur_codes, filled):
+                return model.apply(variables, None, masks_p[:, 0],
+                                   masks_p[:, 1], masks_p[:, 2],
+                                   codes=cur_codes, filled=filled,
+                                   train=False)
 
         # return a scalar so timing forces a real device round trip
         # (block_until_ready is unreliable under remote platforms)

@@ -83,7 +83,9 @@ class LMConvConfig:
     dt_mode: str = "exact"
     # TPU implementation knobs:
     compute_dtype: str = "bfloat16"   # einsum compute dtype
-    sample_backend: str = "pallas"    # masked-conv backend for AR sampling
+    # AR-sampling backend: "fused" = whole network in two Pallas launches
+    # (ops/lmconv_fused.py); "pallas" = per-layer kernels; "xla"
+    sample_backend: str = "fused"
     train_backend: str = "xla"        # backend for the differentiable path
                                       # ("pallas" uses the custom-VJP kernel)
 

@@ -56,14 +56,22 @@ class PreRenderedEpisodes:
         if not self.paths:
             raise FileNotFoundError(f"no habitat shards in {shard_dir}")
         self.rng = np.random.default_rng(seed)
-        self._cache_path = None
-        self._cache = None
+        # shard cache: items sample random shards, so a single-entry cache
+        # reloads (and decompresses) a full shard per ITEM -- a ~1000x
+        # input-pipeline slowdown observed in the round-3 relay run.
+        # Default budget holds ~16 W=128 shards (~1.2 GB).
+        self.max_cached = 16
+        self._cache: Dict[str, Dict[str, np.ndarray]] = {}
 
     def _load(self, path: str):
-        if self._cache_path != path:
-            self._cache = np.load(path)
-            self._cache_path = path
-        return self._cache
+        shard = self._cache.get(path)
+        if shard is None:
+            with np.load(path) as z:
+                shard = {k: z[k] for k in z.files}
+            if len(self._cache) >= self.max_cached:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[path] = shard
+        return shard
 
     def sample_pair(self) -> Dict[str, np.ndarray]:
         shard = self._load(self.paths[self.rng.integers(len(self.paths))])
@@ -79,7 +87,7 @@ class PreRenderedEpisodes:
             "P_out": shard["P"][i, 1],
             "Pinv_out": shard["Pinv"][i, 1],
         }
-        if "depth" in shard.files:
+        if "depth" in shard:
             # GT depth of the *input* view for the optional supervised-depth
             # loss (z_buffermodel.py:404-407 train_depth path)
             out["depth_img"] = shard["depth"][i, 0].astype(np.float32)

@@ -218,7 +218,9 @@ class PixelSynth:
         )
         self.pixelcnn_fast = LMPixelCNN(
             **pcnn_args, compute_dtype=l.compute_dtype,
-            backend=l.sample_backend,
+            # "fused" routes sampling through ops/lmconv_fused (see
+            # make_sampling_logits_fn); the module fast path stays pallas
+            backend="pallas" if l.sample_backend == "fused" else l.sample_backend,
         )
         self.disc = MultiscaleDiscriminator(ndf=mc.ndf)
         self.vgg = VGG19Features()
@@ -395,6 +397,28 @@ class PixelSynth:
             pcnn_vars, None, masks[:, 0], masks[:, 1], masks[:, 2],
             codes=codes, filled=filled, train=train, rngs=rngs,
         )
+
+    def make_sampling_logits_fn(self, pcnn_vars, masks):
+        """(codes, filled) -> logits closure for the AR population loop.
+
+        sample_backend "fused" uses the two-launch whole-network kernels
+        (ops/lmconv_fused.py -- weights packed and masks transposed ONCE,
+        outside the loop body); anything else goes through the per-layer
+        module path."""
+        l = self.cfg.model.lmconv
+        if l.sample_backend == "fused":
+            from pixelsynth_tpu.ops.lmconv_fused import make_fused_logits_fn
+
+            return make_fused_logits_fn(
+                pcnn_vars, masks, nr_resnet=l.nr_resnet,
+                max_dilation=l.max_dilation, num_classes=l.num_classes,
+                compute_dtype=l.compute_dtype,
+            )
+
+        def fn(codes, filled):
+            return self.pixelcnn_logits_codes(pcnn_vars, codes, filled, masks)
+
+        return fn
 
     def decode_image(self, proj_vars, combined, bg_mask, *, train=False, rngs=None):
         mutable = ["batch_stats", "spectral_stats"] if train else False

@@ -111,10 +111,7 @@ class SceneGenerator:
         order_s = self._shard_population(_tile(order, S))
         bg_ds_s = self._shard_population(_tile(bg_ds, S))
 
-        def logits_fn(cur_codes, filled):
-            return ps.pixelcnn_logits_codes(
-                variables["pixelcnn"], cur_codes, filled, masks_s
-            )
+        logits_fn = ps.make_sampling_logits_fn(variables["pixelcnn"], masks_s)
 
         sampled = ar_sample(
             logits_fn, codes_s, order_s, bg_ds_s, rng,

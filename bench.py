@@ -187,6 +187,45 @@ def main():
     speedup = t_sequential / t_batched
 
     extra = {"ar_step_ms": round(t_batched / N_BG * 1000, 3)}
+
+    # exact speculative decoding (sampling.ar_sample_speculative): same
+    # joint distribution, 1..spec+1 cells committed per forward
+    try:
+        from pixelsynth_tpu.sampling import ar_sample_speculative
+
+        codes_p = jnp.repeat(codes, POP, 0)
+        order_p = jnp.repeat(jnp.asarray(order), POP, 0)
+        bg_p = jnp.repeat(jnp.asarray(bg), POP, 0)
+        masks_p = jnp.repeat(masks1, POP, 0)
+        from pixelsynth_tpu.ops.lmconv_fused import make_fused_logits_fn
+
+        lf = make_fused_logits_fn(
+            variables, masks_p, nr_resnet=l.nr_resnet,
+            max_dilation=l.max_dilation, num_classes=NC,
+            compute_dtype=l.compute_dtype,
+        )
+        spec = cfg.sample.speculative or 3
+        fs_ = jax.jit(
+            lambda k: ar_sample_speculative(
+                lf, codes_p, order_p, bg_p, k, num_classes=NC,
+                temperature=0.7, spec=spec).sum()
+        )
+        int(fs_(key))
+        t0 = time.perf_counter()
+        reps = 3
+        for i in range(reps):
+            int(fs_(jax.random.fold_in(key, 100 + i)))
+        t_spec = (time.perf_counter() - t0) / reps
+        _, st = jax.jit(
+            lambda k: ar_sample_speculative(
+                lf, codes_p, order_p, bg_p, k, num_classes=NC,
+                temperature=0.7, spec=spec, return_stats=True)
+        )(key)
+        extra["spec_cell_ms"] = round(t_spec / N_BG * 1000, 3)
+        extra["spec_cells_per_forward"] = round(
+            float(st["max_n_bg"]) / float(st["n_forwards"]), 2)
+    except Exception as e:
+        extra["spec_cell_ms"] = f"failed: {e}"
     try:
         extra["splat_ms"] = round(bench_splat(), 2)
     except Exception as e:  # never lose the headline metric

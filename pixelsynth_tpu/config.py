@@ -175,6 +175,11 @@ class SampleConfig:
     rotation: float = 0.3
     sequential_outpainting: bool = False
     homography: bool = False
+    # exact speculative multi-cell AR decoding (sampling.py:
+    # ar_sample_speculative): commit 1..spec+1 cells per PixelCNN forward
+    # while sampling from the identical joint distribution; 0 = off
+    # (strictly one cell per forward, the reference's schedule)
+    speculative: int = 3
 
 
 @dataclass

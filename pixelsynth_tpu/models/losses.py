@@ -175,7 +175,12 @@ def synthesis_loss(
     p01, g01 = pred * 0.5 + 0.5, gt * 0.5 + 0.5
     mse01 = jnp.maximum(jnp.mean((p01 - g01) ** 2), 1e-10)
     out["psnr_std"] = 10.0 * jnp.log10(1.0 / mse01)
+    # reference convention feeds [-1,1] images into SSIM whose C1/C2 are
+    # [0,1]-range constants (synthesis.py:71) -- numerically unstable
+    # (near-zero local variance sums blow past [0,1]); keep it for parity
+    # but also log the stable standard-range value
     out["ssim"] = ssim(pred, gt)
+    out["ssim_std"] = ssim(p01, g01)
     out["Total Loss"] = total
     return out
 

@@ -182,10 +182,13 @@ def _down_kernel(stack_ref, mu_ref, md_ref, w_refs, out_ref, *, G, HW, F,
     out_ref[0] = u
 
 
+@functools.partial(jax.jit, static_argnames=("nr_resnet", "compute_dtype"))
 def pack_lmconv_params(params: Dict, *, nr_resnet: int = 2,
                        compute_dtype: str = "bfloat16") -> Dict:
     """LMPixelCNN params -> split/stacked weight arrays for the fused
-    kernels.  Call ONCE outside the sampling loop."""
+    kernels.  Call ONCE outside the sampling loop (jitted: the ~100
+    stack/slice/cast ops cost ~0.5 s per call when dispatched eagerly
+    through a remote-device tunnel — measured 25% of a whole view step)."""
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     nr = nr_resnet
     n_up = 3 * nr
@@ -272,7 +275,7 @@ def fold_boundary_masks(mask: jnp.ndarray, H: int, W: int, k: int,
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "nr_resnet", "max_dilation", "num_classes",
-                     "compute_dtype"),
+                     "compute_dtype", "return_features"),
 )
 def pixelcnn_forward_fused(
     packed: Dict,
@@ -288,10 +291,14 @@ def pixelcnn_forward_fused(
     max_dilation: int = 2,
     num_classes: int = 512,
     compute_dtype: str = "bfloat16",
+    return_features: bool = False,
 ) -> jnp.ndarray:
     """codes/filled: (B, H, W); mask_init: (B, k2, HW) (embed layout);
     mu/md: boundary-folded (B, HW, k2) f32 (fold_boundary_masks).
-    Returns (B, H, W, num_classes) logits."""
+    Returns (B, H, W, num_classes) logits, or the pre-nin features
+    (B, HW, F) f32 when return_features (the AR loop consumes logits at
+    ONE position per image -- materializing the full (B, HW, 512) nin
+    output every step is pure HBM+MXU waste)."""
     B = codes.shape[0]
     F = packed["ub1"].shape[-1]
     K2 = packed["uw1a"].shape[1]
@@ -364,6 +371,8 @@ def pixelcnn_forward_fused(
         interpret=interpret,
     )(up, mu, md, *[packed[n] for n in down_w_names])
 
+    if return_features:
+        return u
     h = jax.nn.elu(u)
     logits = jnp.einsum("bpf,fc->bpc", h, packed["nin_w"],
                         preferred_element_type=jnp.float32) + packed["nin_b"]
@@ -373,13 +382,17 @@ def pixelcnn_forward_fused(
 def make_fused_logits_fn(pcnn_vars: Dict, masks: jnp.ndarray, *,
                          nr_resnet: int = 2, max_dilation: int = 2,
                          num_classes: int = 512,
-                         compute_dtype: str = "bfloat16") -> Callable:
+                         compute_dtype: str = "bfloat16",
+                         packed: Dict = None) -> Callable:
     """masks: (B, 3, k2, HW) triple -> (codes, filled) -> logits.
 
     Packs/splits weights and boundary-folds the masks once, so the AR
-    loop body is exactly: embed -> kernel U -> kernel D -> nin."""
-    packed = pack_lmconv_params(pcnn_vars["params"], nr_resnet=nr_resnet,
-                                compute_dtype=compute_dtype)
+    loop body is exactly: embed -> kernel U -> kernel D -> nin.  Pass a
+    pre-packed weight dict (pack_lmconv_params) when building fresh
+    logits fns for many views of the same model."""
+    if packed is None:
+        packed = pack_lmconv_params(pcnn_vars["params"], nr_resnet=nr_resnet,
+                                    compute_dtype=compute_dtype)
     B, _, K2, HW = masks.shape
     k = int(round(K2 ** 0.5))
     side = int(round(HW ** 0.5))
@@ -396,4 +409,27 @@ def make_fused_logits_fn(pcnn_vars: Dict, masks: jnp.ndarray, *,
             num_classes=num_classes, compute_dtype=compute_dtype,
         )
 
+    def at(codes, filled, pos):
+        """Logits at selected flat positions per image: pos (B,) -> (B, C)
+        or (B, G) -> (B, G, C).
+
+        Skips the full-grid nin einsum (and its (B, HW, C) HBM
+        materialization); only the gathered feature rows go through
+        elu + nin."""
+        u = pixelcnn_forward_fused(
+            packed, codes, filled, m_init, mu, md, H=side, W=side,
+            nr_resnet=nr_resnet, max_dilation=max_dilation,
+            num_classes=num_classes, compute_dtype=compute_dtype,
+            return_features=True,
+        )
+        single = pos.ndim == 1
+        p2 = pos[:, None] if single else pos                 # (B, G)
+        rows = jnp.take_along_axis(
+            u, p2[:, :, None].astype(jnp.int32), axis=1)     # (B, G, F)
+        h = jax.nn.elu(rows)
+        out = jnp.dot(h, packed["nin_w"],
+                      preferred_element_type=jnp.float32) + packed["nin_b"]
+        return out[:, 0] if single else out
+
+    fn.at = at
     return fn

@@ -407,12 +407,24 @@ class PixelSynth:
         module path."""
         l = self.cfg.model.lmconv
         if l.sample_backend == "fused":
-            from pixelsynth_tpu.ops.lmconv_fused import make_fused_logits_fn
+            from pixelsynth_tpu.ops.lmconv_fused import (
+                make_fused_logits_fn,
+                pack_lmconv_params,
+            )
 
+            # memoize the packed weights per variables tree: a scene walk
+            # builds a fresh logits fn per view (masks change) but the
+            # weights don't -- repacking cost ~0.5 s/view on the real chip
+            cache = getattr(self, "_fused_pack_cache", None)
+            if cache is None or cache[0] is not pcnn_vars:
+                packed = pack_lmconv_params(
+                    pcnn_vars["params"], nr_resnet=l.nr_resnet,
+                    compute_dtype=l.compute_dtype)
+                self._fused_pack_cache = cache = (pcnn_vars, packed)
             return make_fused_logits_fn(
                 pcnn_vars, masks, nr_resnet=l.nr_resnet,
                 max_dilation=l.max_dilation, num_classes=l.num_classes,
-                compute_dtype=l.compute_dtype,
+                compute_dtype=l.compute_dtype, packed=cache[1],
             )
 
         def fn(codes, filled):

@@ -92,15 +92,26 @@ def ar_sample(
     filled0 = 1.0 - bg_sel
     codes0 = codes.reshape(B, HW).astype(jnp.int32)
 
+    # fused-backend fast path: logits at the ONE consumed position per
+    # image (ops/lmconv_fused.make_fused_logits_fn.at) -- skips the
+    # full-grid nin einsum and its (B, HW, C) HBM materialization that
+    # the generic path computes only to gather one row
+    logits_at = getattr(logits_fn, "at", None)
+
     def body(t, state):
         cur, filled = state
-        logits = logits_fn(cur.reshape(B, H, W), filled.reshape(B, H, W))
-        logits = logits.reshape(B, HW, num_classes)
         pos = positions[:, t]                                   # (B,)
         active = (t < n_bg)                                     # (B,)
-        sel_logits = jnp.take_along_axis(
-            logits, pos[:, None, None].astype(jnp.int32), axis=1
-        )[:, 0]                                                 # (B, C)
+        if logits_at is not None:
+            sel_logits = logits_at(
+                cur.reshape(B, H, W), filled.reshape(B, H, W), pos
+            )                                                   # (B, C)
+        else:
+            logits = logits_fn(cur.reshape(B, H, W), filled.reshape(B, H, W))
+            logits = logits.reshape(B, HW, num_classes)
+            sel_logits = jnp.take_along_axis(
+                logits, pos[:, None, None].astype(jnp.int32), axis=1
+            )[:, 0]                                             # (B, C)
         k = jax.random.fold_in(key, t)
         new = jax.random.categorical(k, sel_logits / temperature, axis=-1)
         sel = jax.nn.one_hot(pos, HW, dtype=filled.dtype) * active[:, None]
@@ -110,6 +121,136 @@ def ar_sample(
 
     cur, _ = jax.lax.fori_loop(0, steps, body, (codes0, filled0))
     return cur.reshape(B, H, W)
+
+
+def ar_sample_speculative(
+    logits_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    codes: jnp.ndarray,
+    order: jnp.ndarray,
+    bg_ds: jnp.ndarray,
+    key: jax.Array,
+    *,
+    num_classes: int = 512,
+    temperature: float = 1.0,
+    spec: int = 3,
+    return_stats: bool = False,
+) -> jnp.ndarray:
+    """`ar_sample` with EXACT speculative multi-cell decoding.
+
+    The locally-masked convs enforce the AR factorization at every layer:
+    in a forward over a grid where cells t..t+S-1 hold *speculated* values,
+    the logits at order-position t+j still depend only on cells earlier in
+    the generation order -- i.e. they are the TRUE conditional given the
+    committed prefix plus speculated cells 0..j-1 (the property that makes
+    teacher forcing work, locally_masked_convolution.py:25-50).  So one
+    forward verifies a whole draft chain, exactly like LLM speculative
+    decoding with the model as its own draft (the draft distribution for
+    cell t+j is the previous forward's logits at that position, whose
+    context was stale by up to S cells).
+
+    Per forward: gather 2S+1 logit rows (needs logits_fn.at); run the
+    standard accept chain -- accept draft d_j w.p. min(1, p_j(d_j)/q_j(d_j)),
+    on first rejection resample from normalize(max(p-q, 0)), on full
+    acceptance take a bonus sample -- then redraft the next S cells from
+    this forward's later rows.  Commits 1..S+1 cells per forward while
+    sampling from EXACTLY the same joint distribution as `ar_sample`
+    (standard speculative-sampling correctness; q is a valid draft even
+    when its context contained later-rejected values).
+
+    Falls back to `ar_sample` when logits_fn has no `.at` fast path.
+    """
+    if getattr(logits_fn, "at", None) is None:
+        return ar_sample(logits_fn, codes, order, bg_ds, key,
+                         num_classes=num_classes, temperature=temperature)
+    S = int(spec)
+    G = 2 * S + 1
+    B, H, W = codes.shape
+    HW = H * W
+    positions, n_bg = sample_positions(order, bg_ds)
+
+    bg_sel = (
+        jnp.zeros((B, HW))
+        .at[jnp.arange(B)[:, None], positions]
+        .add(jnp.where(jnp.arange(HW)[None] < n_bg[:, None], 1.0, 0.0))
+    )
+    filled0 = 1.0 - bg_sel
+    codes0 = codes.reshape(B, HW).astype(jnp.int32)
+    b_idx = jnp.arange(B)[:, None]
+    jS = jnp.arange(S)[None]                                 # (1, S)
+    eps = 1e-20
+
+    def cond(state):
+        _, _, t, _, _, it = state
+        return jnp.any(t < n_bg)
+
+    def body(state):
+        cur_c, fil_c, t, dvals, qp, it = state
+        k_it = jax.random.fold_in(key, it)
+        k_acc, k_res, k_draft = jax.random.split(k_it, 3)
+
+        # probe positions t..t+2S (order-frame), clamped
+        idx = jnp.minimum(t[:, None] + jnp.arange(G)[None], HW - 1)
+        probe = jnp.take_along_axis(positions, idx, axis=1)   # (B, G)
+
+        # write current drafts into the grid (only real bg steps); cells
+        # later in the order never reach earlier rows' receptive fields,
+        # so garbage drafts cannot contaminate the rows we commit from
+        draft_ok = (t[:, None] + jS) < n_bg[:, None]          # (B, S)
+        pos_d = jnp.where(draft_ok, probe[:, :S], HW)          # OOB -> drop
+        cur_s = cur_c.at[b_idx, pos_d].set(dvals, mode="drop")
+        fil_s = fil_c.at[b_idx, pos_d].set(1.0, mode="drop")
+
+        l = logits_fn.at(cur_s.reshape(B, H, W), fil_s.reshape(B, H, W),
+                         probe)                                # (B, G, C)
+        p = jax.nn.softmax(l[:, :S + 1] / temperature, -1)     # (B, S+1, C)
+
+        # accept chain over the S drafts
+        p_at_d = jnp.take_along_axis(p[:, :S], dvals[..., None], -1)[..., 0]
+        q_at_d = jnp.take_along_axis(qp[:, :S], dvals[..., None], -1)[..., 0]
+        ratio = jnp.minimum(p_at_d / jnp.maximum(q_at_d, eps), 1.0)
+        u = jax.random.uniform(k_acc, (B, S))
+        accept = (u < ratio) & (q_at_d > eps) & draft_ok
+        lead = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+        A = jnp.sum(lead, axis=1)                              # (B,)
+
+        # cell A: residual resample (bonus row uses q=0 -> residual = p)
+        pA = jnp.take_along_axis(p, A[:, None, None], 1)[:, 0]  # (B, C)
+        qA = jnp.take_along_axis(qp, A[:, None, None], 1)[:, 0]
+        res = jnp.maximum(pA - qA, 0.0)
+        rsum = jnp.sum(res, -1, keepdims=True)
+        res = jnp.where(rsum > eps, res / jnp.maximum(rsum, eps), pA)
+        r = jax.random.categorical(k_res, jnp.log(res + 1e-30), axis=-1)
+
+        # commit min(A+1, n_bg - t) cells
+        commit_n = jnp.clip(A + 1, 0, jnp.maximum(n_bg - t, 0))
+        # A==S lands in the appended bonus slot below (OOB here -> drop)
+        vals = dvals.at[b_idx[:, 0], A].set(r, mode="drop")
+        vals = jnp.concatenate([vals, r[:, None]], 1)          # (B, S+1)
+        take = jnp.arange(S + 1)[None] < commit_n[:, None]
+        pos_c = jnp.where(take, probe[:, :S + 1], HW)
+        cur_c = cur_c.at[b_idx, pos_c].set(vals, mode="drop")
+        fil_c = fil_c.at[b_idx, pos_c].set(1.0, mode="drop")
+        t = t + commit_n
+
+        # redraft the next S cells from this forward's later rows
+        off = jnp.minimum(A[:, None] + 1 + jS, G - 1)          # (B, S)
+        ql = jnp.take_along_axis(l, off[..., None], 1)         # (B, S, C)
+        qp_new = jax.nn.softmax(ql / temperature, -1)
+        d_new = jax.random.categorical(k_draft, ql / temperature, axis=-1)
+        qp_full = jnp.concatenate(
+            [qp_new, jnp.zeros((B, 1, num_classes))], axis=1)
+        return cur_c, fil_c, t, d_new.astype(jnp.int32), qp_full, it + 1
+
+    state0 = (codes0, filled0, jnp.zeros((B,), jnp.int32),
+              jnp.zeros((B, S), jnp.int32),
+              jnp.zeros((B, S + 1, num_classes)), jnp.int32(0))
+    cur, _, _, _, _, n_fwd = jax.lax.while_loop(cond, body, state0)
+    out = cur.reshape(B, H, W)
+    if return_stats:
+        # cells committed / forwards run (population-max bg fill would
+        # have cost max(n_bg) forwards sequentially)
+        return out, {"n_forwards": n_fwd, "max_n_bg": jnp.max(n_bg)}
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from pixelsynth_tpu.models.classifier import ResNet18, preprocess_for_classifier
 from pixelsynth_tpu.pipeline import CloudState, PixelSynth
 from pixelsynth_tpu.sampling import (
     ar_sample,
+    ar_sample_speculative,
     classifier_entropy,
     d_fake_score,
     rank_candidates,
@@ -113,10 +114,17 @@ class SceneGenerator:
 
         logits_fn = ps.make_sampling_logits_fn(variables["pixelcnn"], masks_s)
 
-        sampled = ar_sample(
-            logits_fn, codes_s, order_s, bg_ds_s, rng,
-            num_classes=nc, temperature=self.temperature,
-        )
+        spec = ps.cfg.sample.speculative
+        if spec > 0:
+            sampled = ar_sample_speculative(
+                logits_fn, codes_s, order_s, bg_ds_s, rng,
+                num_classes=nc, temperature=self.temperature, spec=spec,
+            )
+        else:
+            sampled = ar_sample(
+                logits_fn, codes_s, order_s, bg_ds_s, rng,
+                num_classes=nc, temperature=self.temperature,
+            )
         decoded = ps.vq_decode(variables["vqvae"], sampled)
         combined = ps.combine(_tile(gen_fs, S), decoded, _tile(bg, S))
         noise_rng = jax.random.fold_in(rng, 1)

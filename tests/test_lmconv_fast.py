@@ -72,3 +72,13 @@ def test_fused_two_kernel_matches_flax():
     # bf16 compute: argmax agreement is the operative property
     agree = (got16.argmax(-1) == want.argmax(-1)).mean()
     assert agree > 0.97, f"argmax agreement {agree}"
+
+    # positional fast path: fn.at(codes, filled, pos) must match the row
+    # gathered from the full-grid forward (the AR loop consumes exactly one
+    # position per image per step)
+    pos = jnp.asarray(rng.integers(0, H * W, (B,)), jnp.int32)
+    row = np.asarray(fn32.at(codes, filled, pos))
+    full = np.asarray(fn32(codes, filled)).reshape(B, H * W, NC)
+    want_row = np.take_along_axis(
+        full, np.asarray(pos)[:, None, None], axis=1)[:, 0]
+    np.testing.assert_allclose(row, want_row, atol=1e-4, rtol=1e-4)

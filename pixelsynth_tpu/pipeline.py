@@ -412,15 +412,22 @@ class PixelSynth:
                 pack_lmconv_params,
             )
 
-            # memoize the packed weights per variables tree: a scene walk
-            # builds a fresh logits fn per view (masks change) but the
-            # weights don't -- repacking cost ~0.5 s/view on the real chip
-            cache = getattr(self, "_fused_pack_cache", None)
+            # memoize the packed weights per variables tree for EAGER
+            # callers (bench, eval harnesses): each call otherwise pays
+            # ~0.5 s of eager dispatch on a remote-tunneled chip.  Inside
+            # a trace (the jitted view step) the packing is inlined into
+            # the executable -- never cache tracers there.
+            tracing = isinstance(
+                jax.tree_util.tree_leaves(pcnn_vars)[0], jax.core.Tracer)
+            cache = None if tracing else getattr(
+                self, "_fused_pack_cache", None)
             if cache is None or cache[0] is not pcnn_vars:
                 packed = pack_lmconv_params(
                     pcnn_vars["params"], nr_resnet=l.nr_resnet,
                     compute_dtype=l.compute_dtype)
-                self._fused_pack_cache = cache = (pcnn_vars, packed)
+                cache = (pcnn_vars, packed)
+                if not tracing:
+                    self._fused_pack_cache = cache
             return make_fused_logits_fn(
                 pcnn_vars, masks, nr_resnet=l.nr_resnet,
                 max_dilation=l.max_dilation, num_classes=l.num_classes,

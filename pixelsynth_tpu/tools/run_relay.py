@@ -373,6 +373,37 @@ STAGE_FNS = {
     "dpr": stage_dpr, "stitch": stage_stitch, "report": stage_report,
 }
 
+# on-disk state each stage leaves behind (relative to workdir).  A re-run
+# forced by --force-from must purge these: the stage drivers RESUME from
+# their checkpoint dirs, so stale state from a prior relay would silently
+# skip retraining (run_dpr resumes epoch numbering -- a completed stale
+# dpr_final would train ZERO epochs against the freshly-retrained vqvae).
+STAGE_STATE = {
+    "data": ["shards", "demo_input.png", "demo_world.npz"],
+    "vqvae": ["vqvae", "vqvae_samples", "vqvae_metrics.jsonl"],
+    "codes": ["codes_train.npy", "codes_val.npy"],
+    "dpr_pre": ["dpr_pre"],
+    "orders": ["orders.npy"],
+    "lmconv": ["lmconv", "lmconv_samples", "lmconv_metrics.jsonl"],
+    "dpr": ["dpr_final"],
+    "stitch": ["stitched"],
+    "report": [],
+}
+
+
+def _purge_stage_state(workdir: str, stage: str):
+    import shutil
+
+    for rel in STAGE_STATE.get(stage, []):
+        path = os.path.join(workdir, rel)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+    marker = _marker(workdir, stage)
+    if os.path.exists(marker):
+        os.remove(marker)
+
 
 def run_relay(workdir: str, evidence_dir: str, *, width: int = 128,
               smoke: bool = False, force_from: Optional[str] = None,
@@ -398,6 +429,8 @@ def run_relay(workdir: str, evidence_dir: str, *, width: int = 128,
             results[stage] = _read_marker(workdir, stage)
             print(f"[relay] {stage}: already done, skipping")
             continue
+        if forced:
+            _purge_stage_state(workdir, stage)
         print(f"[relay] {stage}: running")
         t0 = time.time()
         summary = STAGE_FNS[stage](cfg, workdir, s) or {}

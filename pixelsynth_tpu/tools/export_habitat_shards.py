@@ -124,8 +124,56 @@ def synthesize_shard(rng: np.random.Generator, n: int, W: int,
 
 
 # ---------------------------------------------------------------------------
-# habitat-sim exporter
+# habitat-sim exporter (+ the pieces the live bridge reuses,
+# data/habitat_bridge.HabitatLivePairGenerator)
 # ---------------------------------------------------------------------------
+
+
+def make_habitat_env(scenes_config: str):
+    """-> (habitat.Env, K).  Lazy habitat import: callable from exporter
+    and from bridge worker processes alike."""
+    try:
+        import habitat  # noqa: F401
+        import quaternion  # noqa: F401
+    except ImportError as e:  # pragma: no cover - habitat not in CI image
+        raise SystemExit(
+            f"habitat-sim/habitat-lab not installed ({e}); run this in a "
+            "habitat environment, or use --synthetic for fixture shards"
+        )
+    import habitat
+
+    config = habitat.get_config(scenes_config)
+    env = habitat.Env(config=config)
+    K = hfov_intrinsics(config.SIMULATOR.DEPTH_SENSOR.HFOV)
+    return env, K
+
+
+def render_habitat_pair(env, rng: np.random.Generator,
+                        max_rotation: float):  # pragma: no cover - live sim
+    """One (input, output) view pair at a random navigable point: uniform
+    yaw start, Euler-jittered second rotation (create_rgb_dataset.py:
+    231-333, utils/jitter.py:6-17).  Returns (images (2,W,W,3) uint8,
+    P (2,4,4), Pinv (2,4,4))."""
+    import quaternion
+
+    pos = np.array(env.sim.sample_navigable_point())
+    yaw = rng.uniform(0, 2 * np.pi)
+    rot0 = [0, np.sin(yaw / 2), 0, np.cos(yaw / 2)]
+    views = [rot0]
+    q = quaternion.from_float_array(rot0)
+    e = quaternion.as_euler_angles(q) + _euler_jitter(rng, max_rotation)
+    views.append(quaternion.as_float_array(
+        quaternion.from_euler_angles(e)).tolist())
+    images, Ps, Pinvs = [], [], []
+    for rot in views:
+        obs = env.sim.get_observations_at(position=pos, rotation=rot)
+        images.append(obs["rgb"][..., :3])
+        st = env.sim.get_agent_state()
+        R = quaternion.as_rotation_matrix(st.rotation)
+        P, Pinv = camera_matrices(np.array(st.position), R)
+        Ps.append(P)
+        Pinvs.append(Pinv)
+    return np.stack(images), np.stack(Ps), np.stack(Pinvs)
 
 
 def export_habitat(out_dir: str, *, scenes_config: str, num_pairs: int,
@@ -136,21 +184,9 @@ def export_habitat(out_dir: str, *, scenes_config: str, num_pairs: int,
     Episode handling matches the reference: one episode per scene fixture,
     env reset every images_before_reset samples
     (create_rgb_dataset.py:122-148,232-234)."""
-    try:
-        import habitat  # noqa: F401
-        import quaternion  # noqa: F401
-    except ImportError as e:  # pragma: no cover - habitat not in CI image
-        raise SystemExit(
-            f"habitat-sim/habitat-lab not installed ({e}); run this exporter "
-            "in a habitat environment, or use --synthetic for fixture shards"
-        )
+    env, K = make_habitat_env(scenes_config)
     # pragma: no cover start -- executes only with a live simulator
-    import habitat
-
-    config = habitat.get_config(scenes_config)
-    env = habitat.Env(config=config)
     rng = np.random.default_rng(seed)
-    K = hfov_intrinsics(config.SIMULATOR.DEPTH_SENSOR.HFOV)
     Kinv = np.linalg.inv(K).astype(np.float32)
     os.makedirs(out_dir, exist_ok=True)
     written = 0
@@ -163,22 +199,8 @@ def export_habitat(out_dir: str, *, scenes_config: str, num_pairs: int,
         for i in range(n):
             if (written + i) % 100 == 0:
                 env.reset()
-            pos = np.array(env.sim.sample_navigable_point())
-            yaw = rng.uniform(0, 2 * np.pi)
-            rot0 = [0, np.sin(yaw / 2), 0, np.cos(yaw / 2)]
-            views = [rot0]
-            q = quaternion.from_float_array(rot0)
-            e = quaternion.as_euler_angles(q) + _euler_jitter(rng, max_rotation)
-            views.append(quaternion.as_float_array(
-                quaternion.from_euler_angles(e)).tolist())
-            for v, rot in enumerate(views):
-                obs = env.sim.get_observations_at(position=pos, rotation=rot)
-                img = obs["rgb"][..., :3]
-                images[i, v] = img
-                st = env.sim.get_agent_state()
-                R = quaternion.as_rotation_matrix(st.rotation)
-                Ps[i, v], Pinvs[i, v] = camera_matrices(
-                    np.array(st.position), R)
+            images[i], Ps[i], Pinvs[i] = render_habitat_pair(
+                env, rng, max_rotation)
         np.savez(
             os.path.join(out_dir, f"{split}_{shard_idx:05d}.npz"),
             images=images, P=Ps, Pinv=Pinvs, K=K, Kinv=Kinv,

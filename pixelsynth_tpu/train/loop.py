@@ -105,6 +105,31 @@ def make_batch_source(cfg: Config, split: str = "train") -> Callable[[], Dict]:
 
         fn.split = split
         return fn
+    if cfg.dataset == "habitat_live":
+        # live simulator bridge (the reference's 5-process VectorEnv path,
+        # create_rgb_dataset.py:110): train_data_path is a habitat scenes
+        # config, or "panorama" for the procedural world backend
+        from pixelsynth_tpu.data.habitat_bridge import (
+            HabitatLivePairGenerator,
+            PanoramaGenerator,
+            VectorGeneratorBridge,
+        )
+
+        seed = cfg.train.seed + (10_000 if split != "train" else 0)
+        if cfg.train_data_path in ("", "panorama"):
+            factory = PanoramaGenerator(W=cfg.model.W,
+                                        max_rotation=cfg.train.max_rotation)
+        else:
+            factory = HabitatLivePairGenerator(
+                cfg.train_data_path, max_rotation=cfg.train.max_rotation)
+        bridge = VectorGeneratorBridge(factory, num_workers=5, seed=seed)
+
+        def fn():
+            return bridge.batch(cfg.train.batch_size)
+
+        fn.split = split
+        fn.bridge = bridge  # callers may close() it
+        return fn
     if cfg.dataset == "custom":
         from pixelsynth_tpu.data.custom import Custom, collate
 

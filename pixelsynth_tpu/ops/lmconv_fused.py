@@ -94,6 +94,30 @@ def _conv_split(ha, hb, m, wa, wb, b, shifts, cdt):
     return acc + b
 
 
+def _conv_split_dual(ha, hb, m, w2, b2, shifts, cdt):
+    """The gated resnet's second conv: TWO output streams (activation and
+    gate) over the SAME input taps.  Shares each tap's roll + bf16 cast
+    between the streams (separately they would re-roll identical data --
+    half the roll/cast traffic of two _conv_split calls; the dots are
+    unchanged and stay output-split, no lane slicing)."""
+    acc_a = acc_g = None
+    for t, s in enumerate(shifts):
+        ra = _roll(ha, s).astype(cdt)
+        rb = _roll(hb, s).astype(cdt)
+        za = jnp.dot(ra, w2["aa"][t], preferred_element_type=jnp.float32)
+        za = za + jnp.dot(rb, w2["ba"][t], preferred_element_type=jnp.float32)
+        zg = jnp.dot(ra, w2["ag"][t], preferred_element_type=jnp.float32)
+        zg = zg + jnp.dot(rb, w2["bg"][t], preferred_element_type=jnp.float32)
+        mt = m[:, t][:, None]
+        za = mt * za
+        zg = mt * zg
+        if acc_a is None:
+            acc_a, acc_g = za, zg
+        else:
+            acc_a, acc_g = acc_a + za, acc_g + zg
+    return acc_a + b2[0], acc_g + b2[1]
+
+
 def _conv_single(h, m, w, b, shifts, cdt):
     """Single-stream masked conv (the dilated layers); h (GHW, F) f32."""
     acc = None
@@ -120,8 +144,7 @@ def _gated(og, a, m, w1a, w1b, b1, wsa, wsb, bs, w2, b2, *, F, shifts, cdt):
                           preferred_element_type=jnp.float32)
         x = x + sk + bs
     ya, yb = _elu_halves(x)
-    z_a = _conv_split(ya, yb, m, w2["aa"], w2["ba"], b2[0], shifts, cdt)
-    z_g = _conv_split(ya, yb, m, w2["ag"], w2["bg"], b2[1], shifts, cdt)
+    z_a, z_g = _conv_split_dual(ya, yb, m, w2, b2, shifts, cdt)
     return og + _pono_dot(z_a) * jax.nn.sigmoid(z_g)
 
 

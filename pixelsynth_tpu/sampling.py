@@ -258,6 +258,22 @@ def ar_sample_speculative(
 # ---------------------------------------------------------------------------
 
 
+def rank_candidates_jax(
+    discrim_scores: jnp.ndarray, entropy_scores: jnp.ndarray
+) -> jnp.ndarray:
+    """In-graph `rank_candidates`: (S,) scores -> scalar best index.
+
+    Keeping the selection on device lets the scene walk dispatch view k+1
+    before view k's arrays are read back (the reference syncs per candidate,
+    z_buffermodel.py:246-263)."""
+    S = discrim_scores.shape[0]
+    ar = jnp.arange(S)
+    discrim_ranks = jnp.zeros(S, jnp.int32).at[jnp.argsort(discrim_scores)].set(ar)
+    entropy_ranks = jnp.zeros(S, jnp.int32).at[jnp.argsort(entropy_scores)].set(ar)
+    total = 0.5 * (S - 1 - entropy_ranks) + 0.5 * discrim_ranks
+    return jnp.argmax(total)
+
+
 def rank_candidates(
     discrim_scores: np.ndarray, entropy_scores: np.ndarray
 ) -> int:

@@ -28,7 +28,7 @@ from pixelsynth_tpu.sampling import (
     ar_sample_speculative,
     classifier_entropy,
     d_fake_score,
-    rank_candidates,
+    rank_candidates_jax,
 )
 
 
@@ -103,53 +103,90 @@ class SceneGenerator:
         )
         order, masks, bg_ds = ps.masks_for_background(bg)
         codes, _ = ps.vq_encode(variables["vqvae"], gen_fs)
-
-        # ---- population sampling: all S candidates at once, sharded over
-        # the mesh data axis when one is attached ----
-        nc = ps.cfg.model.lmconv.num_classes
-        codes_s = self._shard_population(_tile(codes, S))
-        masks_s = self._shard_population(_tile(masks, S))
-        order_s = self._shard_population(_tile(order, S))
-        bg_ds_s = self._shard_population(_tile(bg_ds, S))
-
-        logits_fn = ps.make_sampling_logits_fn(variables["pixelcnn"], masks_s)
-
-        spec = ps.cfg.sample.speculative
-        if spec > 0:
-            sampled = ar_sample_speculative(
-                logits_fn, codes_s, order_s, bg_ds_s, rng,
-                num_classes=nc, temperature=self.temperature, spec=spec,
-            )
-        else:
-            sampled = ar_sample(
-                logits_fn, codes_s, order_s, bg_ds_s, rng,
-                num_classes=nc, temperature=self.temperature,
-            )
-        decoded = ps.vq_decode(variables["vqvae"], sampled)
-        combined = ps.combine(_tile(gen_fs, S), decoded, _tile(bg, S))
         noise_rng = jax.random.fold_in(rng, 1)
-        gen_imgs, _ = ps.decode_image(
-            variables["projector"], combined, _tile(bg, S),
-            rngs={"noise": noise_rng},
+        B = img.shape[0]
+
+        def population_branch(_):
+            # ---- population sampling: all S candidates at once, sharded
+            # over the mesh data axis when one is attached ----
+            nc = ps.cfg.model.lmconv.num_classes
+            codes_s = self._shard_population(_tile(codes, S))
+            masks_s = self._shard_population(_tile(masks, S))
+            order_s = self._shard_population(_tile(order, S))
+            bg_ds_s = self._shard_population(_tile(bg_ds, S))
+
+            logits_fn = ps.make_sampling_logits_fn(
+                variables["pixelcnn"], masks_s)
+
+            spec = ps.cfg.sample.speculative
+            if spec > 0:
+                sampled = ar_sample_speculative(
+                    logits_fn, codes_s, order_s, bg_ds_s, rng,
+                    num_classes=nc, temperature=self.temperature, spec=spec,
+                )
+            else:
+                sampled = ar_sample(
+                    logits_fn, codes_s, order_s, bg_ds_s, rng,
+                    num_classes=nc, temperature=self.temperature,
+                )
+            decoded = ps.vq_decode(variables["vqvae"], sampled)
+            combined = ps.combine(_tile(gen_fs, S), decoded, _tile(bg, S))
+            gen_imgs, _ = ps.decode_image(
+                variables["projector"], combined, _tile(bg, S),
+                rngs={"noise": noise_rng},
+            )
+
+            # ---- candidate scoring (z_buffermodel.py:244-276) ----
+            def disc_apply(x, train=False):
+                return ps.disc.apply(variables["disc"], x, train=False)
+
+            d_scores = d_fake_score(disc_apply, gen_imgs, _tile(img, S))
+            if classifier_vars is not None:
+                logits = self.classifier.apply(
+                    classifier_vars,
+                    preprocess_for_classifier(gen_imgs * 0.5 + 0.5),
+                )
+                entropy = classifier_entropy(logits)
+            else:
+                entropy = jnp.zeros((gen_imgs.shape[0],))
+            return (gen_imgs.astype(jnp.float32),
+                    d_scores.astype(jnp.float32),
+                    entropy.astype(jnp.float32))
+
+        def covered_branch(_):
+            # nothing to outpaint anywhere in the batch: every candidate
+            # would be identical, so decode ONCE per item and broadcast --
+            # turns the sweep-back / video-frame views whose background is
+            # already filled into a single decoder pass instead of S
+            # (VERDICT r2 next-#3)
+            decoded = ps.vq_decode(variables["vqvae"], codes)
+            combined = ps.combine(gen_fs, decoded, bg)
+            one_imgs, _ = ps.decode_image(
+                variables["projector"], combined, bg, rngs={"noise": noise_rng},
+            )
+            gen_imgs = _tile(one_imgs, S).astype(jnp.float32)
+            zeros = jnp.zeros((B * S,), jnp.float32)
+            return gen_imgs, zeros, zeros
+
+        # cell-level coverage: sampling happens on the 32x32 code grid, so
+        # "covered" means no fully-background cell survives downsampling
+        any_bg_cell = jnp.any(bg_ds >= 1.0 - 1e-6)
+        gen_imgs, d_scores, entropy = jax.lax.cond(
+            any_bg_cell, population_branch, covered_branch, operand=None
         )
 
-        # ---- candidate scoring (z_buffermodel.py:244-276) ----
-        def disc_apply(x, train=False):
-            return ps.disc.apply(variables["disc"], x, train=False)
-
-        d_scores = d_fake_score(disc_apply, gen_imgs, _tile(img, S))
-        if classifier_vars is not None:
-            logits = self.classifier.apply(
-                classifier_vars, preprocess_for_classifier(gen_imgs * 0.5 + 0.5)
-            )
-            entropy = classifier_entropy(logits)
-        else:
-            entropy = jnp.zeros((gen_imgs.shape[0],))
+        # ---- per-item best candidate, selected in-graph so the walk needs
+        # no host round trip between views ----
+        d_bs = d_scores.reshape(B, S)
+        e_bs = entropy.reshape(B, S)
+        best = jax.vmap(rank_candidates_jax)(d_bs, e_bs)        # (B,)
+        best_img = gen_imgs[jnp.arange(B) * S + best]
 
         return {
             "gen_imgs": gen_imgs,
             "d_scores": d_scores,
             "entropy": entropy,
+            "best_img": best_img,
             "bg": bg,
             "depth": depth,
             "gen_fs": gen_fs,
@@ -163,18 +200,13 @@ class SceneGenerator:
         B*S candidates (item-major); the per-item best is rank-selected
         (z_buffermodel.py:264-276).  Returns ((B, W, W, 3) best images,
         raw step outputs)."""
-        B = img.shape[0]
-        S = self.num_samples
         out = self._view_step(
             self.variables, self.classifier_vars, img, cams, cloud,
             last_bg, RTinv_last, rng,
         )
-        d = np.asarray(out["d_scores"]).reshape(B, S)
-        e = np.asarray(out["entropy"]).reshape(B, S)
-        best = np.array([rank_candidates(d[b], e[b]) for b in range(B)])
-        idx = np.arange(B) * S + best
-        best_img = out["gen_imgs"][jnp.asarray(idx)]
-        return best_img, out
+        # best candidate is selected in-graph (rank_candidates_jax): no
+        # host synchronization between consecutive views of a walk
+        return out["best_img"], out
 
     def generate_scene(
         self,
@@ -245,17 +277,13 @@ class SceneGenerator:
                     cloud, None if first_view else last_bg, RTinv_last, sub,
                 )
                 key = f"PredImg_{direction}_{numerator}"
-                outputs[key] = np.asarray(best_img)
+                outputs[key] = best_img
                 # splatted-feature image, every view (z_buffermodel.py:524,575)
-                outputs[f"FeaturesImg_{direction}_{numerator}"] = np.asarray(
-                    out["gen_fs"]
-                )
+                outputs[f"FeaturesImg_{direction}_{numerator}"] = out["gen_fs"]
                 if numerator == n_split:
-                    outputs[f"PredDepthImg_{direction}_{numerator}"] = np.asarray(
-                        out["depth"]
-                    )
-                    outputs[f"ForegroundImg_{direction}_{numerator}"] = np.asarray(
-                        (~out["bg"]).astype(np.float32)
+                    outputs[f"PredDepthImg_{direction}_{numerator}"] = out["depth"]
+                    outputs[f"ForegroundImg_{direction}_{numerator}"] = (
+                        (~out["bg"]).astype(jnp.float32)
                     )
                 current_img = best_img
                 cloud = out["cloud"]
@@ -265,7 +293,10 @@ class SceneGenerator:
                 last_direction = direction
                 first_view = False
 
-        return outputs
+        # one transfer at the end: every view above was dispatched
+        # asynchronously (nothing in the loop forces a readback), so the
+        # device pipeline runs ahead of the host walk
+        return {k: np.asarray(v) for k, v in outputs.items()}
 
 
 def batch_rt_from_rot(directions: List[str], input_RT, num, denom):
@@ -313,13 +344,13 @@ class TwoImageGenerator(SceneGenerator):
             best_img, out = self.generate_view(
                 current_img, cams, cloud, last_bg, RTinv_last, sub
             )
-            outputs[f"PredImg_{numerator}"] = np.asarray(best_img)
+            outputs[f"PredImg_{numerator}"] = best_img
             current_img = best_img
             cloud = out["cloud"]
             last_bg = out["bg"]
             RTinv_last = cout_inv
             cin_inv, cin = cout_inv, cout
-        return outputs
+        return {k: np.asarray(v) for k, v in outputs.items()}
 
 
 def video_frame_order(num_split: int) -> List[Tuple[str, int]]:

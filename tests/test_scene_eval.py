@@ -235,3 +235,36 @@ def test_rank_uses_entropy_and_missing_classifier_warns():
         warnings.simplefilter("always")
         SceneGenerator(ps, {}, num_samples=1, classifier_vars=None)
     assert not any("discriminator" in str(w.message) for w in rec)
+
+
+def test_rank_candidates_jax_matches_numpy():
+    from pixelsynth_tpu.sampling import rank_candidates, rank_candidates_jax
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        d = rng.normal(size=6)
+        e = rng.normal(size=6)
+        assert int(rank_candidates_jax(jnp.asarray(d), jnp.asarray(e))) == \
+            rank_candidates(d, e)
+
+
+def test_covered_view_skips_population(gen):
+    """A view whose background is already filled (identity output camera:
+    every pixel re-splats onto itself) must take the single-decode branch:
+    all candidates identical, zero scores, best = candidate 0."""
+    W = gen.ps.W
+    img = jax.random.uniform(jax.random.PRNGKey(5), (1, W, W, 3)) * 2 - 1
+    I = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    cams = {"K": I, "Kinv": I, "P_in": I, "Pinv_in": I, "P_out": I}
+    cloud = CloudState.empty(1, W * W, 3)
+    best, out = gen.generate_view(img, cams, cloud, None, I,
+                                  jax.random.PRNGKey(6))
+    # no code cell is fully background at identity
+    from pixelsynth_tpu.pipeline import downsample_mask
+
+    bg_ds = downsample_mask(out["bg"])
+    assert not bool(jnp.any(bg_ds >= 1.0 - 1e-6))
+    imgs = np.asarray(out["gen_imgs"])
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    assert np.all(np.asarray(out["d_scores"]) == 0.0)
+    np.testing.assert_array_equal(np.asarray(best)[0], imgs[0])

@@ -223,11 +223,17 @@ def build_report(cfg: Config, workdir: str, evidence_dir: str, *,
     npz = os.path.join(evidence_dir, "stitched.npz")
     ps, variables = demo_cli.load_model(npz)
     cfg = ps.cfg
+    # paired + consistency evals run the reference's standard eval protocol
+    # temperature T=0.5 (scripts/eval_quality_realestate.sh,
+    # docs/REALESTATE.md:74); the scene walk below keeps the demo protocol
+    # (checkpoint temperature, scripts/demo_scene.sh T=0.7)
+    eval_temperature = 0.5
     gen = SceneGenerator(ps, variables, num_samples=num_samples,
-                         temperature=cfg.sample.temperature)
+                         temperature=eval_temperature)
 
     report: Dict = {"config_W": cfg.model.W, "num_samples": num_samples,
-                    "temperature": cfg.sample.temperature,
+                    "temperature": eval_temperature,
+                    "scene_temperature": cfg.sample.temperature,
                     "time": time.time()}
 
     batches = _val_batches(os.path.join(workdir, "shards"),
@@ -238,7 +244,7 @@ def build_report(cfg: Config, workdir: str, evidence_dir: str, *,
 
     t0 = time.time()
     report.update(two_image_consistency(
-        ps, variables, batches, num_samples, cfg.sample.temperature,
+        ps, variables, batches, num_samples, eval_temperature,
         max_items=4 if smoke else 16))
     report["consistency_seconds"] = time.time() - t0
 

@@ -226,7 +226,59 @@ def evidence_dpr(out_dir: str, *, W: int = 64, steps: int = 4000,
     f.close()
     print(f"dpr: best train-set PSNR {best:.2f} "
           f"({steps} steps, {time.time()-t0:.0f}s)")
-    return {"best_psnr": best}
+    diag = diagnose_dpr_noise(ps, state, fixed, key)
+    with open(os.path.join(out_dir, "dpr_noise_diag.json"), "w") as jf:
+        json.dump(diag, jf, indent=2)
+    print("dpr noise diagnosis:", json.dumps(diag))
+    return {"best_psnr": best, **diag}
+
+
+def diagnose_dpr_noise(ps, state, fixed, key, n_draws: int = 8) -> Dict:
+    """Quantify how much the eval-time noise injection (BigGAN
+    noise-conditioned BN, models/layers.py LinearNoiseLayer -- the
+    reference draws fresh noise at EVERY forward, normalization.py:21-47)
+    caps the overfit PSNR plateau (round-2 VERDICT weak #8).
+
+    Reports per-draw PSNR spread and the PSNR of the noise-averaged
+    prediction: if averaging out the noise recovers several dB, the
+    plateau is the noise modulation, not an optimization failure."""
+    import jax
+
+    def psnr01(pred_img, gt_img):
+        p = np.clip(np.asarray(pred_img) * 0.5 + 0.5, 0, 1)
+        g = np.clip(np.asarray(gt_img) * 0.5 + 0.5, 0, 1)
+        mse = float(np.mean((p - g) ** 2))
+        return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    @jax.jit
+    def pred(batch, rng):
+        _, (_, outputs, _) = ps.train_forward(
+            state.gen_vars, state.frozen_vars, batch, {"noise": rng},
+            train_ar=False, train=False,
+        )
+        return outputs["PredImg"]
+
+    per_draw, avg_imgs, gts = [], [], []
+    for b in fixed:
+        preds = np.stack([
+            np.asarray(pred(b, jax.random.fold_in(key, i)))
+            for i in range(n_draws)
+        ])  # (n_draws, B, W, W, 3)
+        gt = np.asarray(b["output_img"])
+        per_draw.append([psnr01(preds[i], gt) for i in range(n_draws)])
+        avg_imgs.append(preds.mean(0))
+        gts.append(gt)
+    per_draw = np.asarray(per_draw)  # (n_batches, n_draws)
+    psnr_avg_pred = float(np.mean([
+        psnr01(a, g) for a, g in zip(avg_imgs, gts)
+    ]))
+    return {
+        "psnr_std_per_draw_mean": float(per_draw.mean()),
+        "psnr_std_per_draw_spread": float(per_draw.std(axis=1).mean()),
+        "psnr_std_noise_averaged": psnr_avg_pred,
+        "noise_cost_db": psnr_avg_pred - float(per_draw.mean()),
+        "n_draws": n_draws,
+    }
 
 
 def main(argv=None):

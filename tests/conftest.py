@@ -13,3 +13,19 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_caches_between_modules():
+    """Free compiled executables before each test module.
+
+    A full-suite run accumulates every module's jitted executables in one
+    process; by the time the big view-step graphs (test_scene_eval,
+    test_relay_artifact) compile, XLA:CPU's JIT has hundreds of live code
+    regions and the compile intermittently segfaults (observed at the
+    ~105th test; the same tests always pass in isolation).  Dropping dead
+    modules' caches keeps the process footprint flat."""
+    jax.clear_caches()
+    yield

@@ -416,22 +416,25 @@ class PixelSynth:
             # callers (bench, eval harnesses): each call otherwise pays
             # ~0.5 s of eager dispatch on a remote-tunneled chip.  Inside
             # a trace (the jitted view step) the packing is inlined into
-            # the executable -- never cache tracers there.
-            tracing = isinstance(
-                jax.tree_util.tree_leaves(pcnn_vars)[0], jax.core.Tracer)
-            cache = None if tracing else getattr(
-                self, "_fused_pack_cache", None)
-            if cache is None or cache[0] is not pcnn_vars:
+            # the executable -- never cache tracers there.  Cacheability
+            # is decided on the PACKED OUTPUT: even with concrete
+            # variables, packing performed under an enclosing trace
+            # (e.g. variables closed over, masks traced) yields tracers,
+            # which must not outlive the trace.
+            cache = getattr(self, "_fused_pack_cache", None)
+            if cache is not None and cache[0] is pcnn_vars:
+                packed = cache[1]
+            else:
                 packed = pack_lmconv_params(
                     pcnn_vars["params"], nr_resnet=l.nr_resnet,
                     compute_dtype=l.compute_dtype)
-                cache = (pcnn_vars, packed)
-                if not tracing:
-                    self._fused_pack_cache = cache
+                if not any(isinstance(leaf, jax.core.Tracer)
+                           for leaf in jax.tree_util.tree_leaves(packed)):
+                    self._fused_pack_cache = (pcnn_vars, packed)
             return make_fused_logits_fn(
                 pcnn_vars, masks, nr_resnet=l.nr_resnet,
                 max_dilation=l.max_dilation, num_classes=l.num_classes,
-                compute_dtype=l.compute_dtype, packed=cache[1],
+                compute_dtype=l.compute_dtype, packed=packed,
             )
 
         def fn(codes, filled):

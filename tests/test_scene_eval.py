@@ -268,3 +268,39 @@ def test_covered_view_skips_population(gen):
     np.testing.assert_array_equal(imgs[0], imgs[1])
     assert np.all(np.asarray(out["d_scores"]) == 0.0)
     np.testing.assert_array_equal(np.asarray(best)[0], imgs[0])
+
+
+def test_fused_pack_cache_never_stores_tracers(gen):
+    """make_sampling_logits_fn memoizes packed weights for eager callers,
+    but packing under an enclosing trace (concrete variables closed over,
+    traced masks) yields tracers that must NOT be cached -- regression for
+    a leak where a later jit died with UnexpectedTracerError."""
+    import jax
+
+    ps = gen.ps
+    if ps.cfg.model.lmconv.sample_backend != "fused":
+        pytest.skip("fused backend only")
+    pcnn_vars = gen.variables["pixelcnn"]
+    l = ps.cfg.model.lmconv
+    HW = l.obs[1] * l.obs[2]
+    masks = jnp.zeros((1, 3, l.kernel_size ** 2, HW))
+
+    ps._fused_pack_cache = None
+
+    @jax.jit
+    def traced(m):
+        fn = ps.make_sampling_logits_fn(pcnn_vars, m)  # vars closed over
+        codes = jnp.zeros((1, l.obs[1], l.obs[2]), jnp.int32)
+        return fn(codes, jnp.ones((1, l.obs[1], l.obs[2])))
+
+    traced(masks)
+    cache = getattr(ps, "_fused_pack_cache", None)
+    if cache is not None:
+        leaves = jax.tree_util.tree_leaves(cache[1])
+        assert not any(isinstance(x, jax.core.Tracer) for x in leaves)
+
+    # eager call populates a concrete cache and reuses it
+    ps.make_sampling_logits_fn(pcnn_vars, masks)
+    c1 = ps._fused_pack_cache
+    ps.make_sampling_logits_fn(pcnn_vars, masks)
+    assert ps._fused_pack_cache is c1

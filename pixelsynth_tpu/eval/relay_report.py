@@ -79,7 +79,10 @@ def paired_eval(ps, variables, gen, batches: List[Dict]) -> Dict[str, float]:
 
     from pixelsynth_tpu.pipeline import CloudState
 
+    from pixelsynth_tpu.models.losses import ssim as _ssim
+
     psnrs, psnrs_bg, base, base_bg = [], [], [], []
+    ssims, base_ssims = [], []
     rng = jax.random.PRNGKey(123)
     for b in batches:
         cams = {k: jnp.asarray(b[k]) for k in
@@ -99,14 +102,22 @@ def paired_eval(ps, variables, gen, batches: List[Dict]) -> Dict[str, float]:
         for i in range(B):
             psnrs.append(_psnr01(pred01[i], gt01[i]))
             base.append(_psnr01(nop01[i], gt01[i]))
+            # SSIM alongside PSNR: under uncertainty PSNR rewards the
+            # baseline's blurred fill, SSIM credits recovered structure
+            ssims.append(float(_ssim(jnp.asarray(pred01[i][None]),
+                                     jnp.asarray(gt01[i][None]))))
+            base_ssims.append(float(_ssim(jnp.asarray(nop01[i][None]),
+                                          jnp.asarray(gt01[i][None]))))
             if bg[i].mean() > 0.02:
                 psnrs_bg.append(_psnr01_masked(pred01[i], gt01[i], bg[i]))
                 base_bg.append(_psnr01_masked(nop01[i], gt01[i], bg[i]))
     return {
         "paired_psnr": float(np.mean(psnrs)),
         "paired_psnr_bg": float(np.mean(psnrs_bg)) if psnrs_bg else None,
+        "paired_ssim": float(np.mean(ssims)),
         "baseline_no_outpaint_psnr": float(np.mean(base)),
         "baseline_no_outpaint_psnr_bg": float(np.mean(base_bg)) if base_bg else None,
+        "baseline_no_outpaint_ssim": float(np.mean(base_ssims)),
         "n_pairs": len(psnrs),
     }
 

@@ -72,6 +72,13 @@ def load_model(ckpt_dir: Optional[str], cfg: Optional[Config] = None):
 
         cfg, stitched, _ = load_stitched_npz(ckpt_dir)
         ps = PixelSynth(cfg)
+        # a complete artifact carries every runtime tree -- skip the
+        # full random init (~2 min on CPU) that it would overwrite anyway
+        needed = {"unet", "vqvae", "pixelcnn", "projector", "disc"}
+        if ps.encoder is not None:
+            needed.add("encoder")
+        if needed <= set(stitched):
+            return ps, stitched
         variables = ps.init_variables(jax.random.PRNGKey(0))
         return ps, {**variables, **stitched}
     if ckpt_dir is not None:

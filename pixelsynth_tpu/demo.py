@@ -55,6 +55,14 @@ def load_ported_weights(variables: Dict, weights_dir: Optional[str]):
 
         classifier_vars = load_torch_resnet18(cls_path)
         print(f"loaded Places365 classifier from {cls_path}")
+    scene_cls = os.path.join(weights_dir, "scene_classifier.npz")
+    if classifier_vars is None and os.path.exists(scene_cls):
+        # in-repo substitute trained on panorama worlds
+        # (tools/train_scene_classifier.py) -- same role, same ranking math
+        from pixelsynth_tpu.models.classifier import load_classifier_npz
+
+        classifier_vars = load_classifier_npz(scene_cls)
+        print(f"loaded scene classifier from {scene_cls}")
     return variables, classifier_vars
 
 

@@ -40,14 +40,14 @@ class BasicBlock(nn.Module):
     def __call__(self, x, *, train: bool = False):
         h = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
                     use_bias=False)(x)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), padding=1, use_bias=False)(h)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         if self.stride != 1 or x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1), strides=self.stride,
                         use_bias=False)(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
         return nn.relu(h + x)
 
 
@@ -57,7 +57,7 @@ class ResNet18(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False)(x)
-        h = nn.BatchNorm(use_running_average=not train)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for feats, stride in [(64, 1), (64, 1), (128, 2), (128, 1),
@@ -110,3 +110,39 @@ def load_torch_resnet18(npz_path: str) -> Dict:
         "bias": jnp.asarray(raw["fc.bias"]),
     }
     return {"params": params, "batch_stats": stats}
+
+
+def classifier_num_classes(variables: Dict) -> int:
+    """Class count carried by a ResNet18 variables tree (the final Dense
+    kernel's output dim) -- lets SceneGenerator accept a classifier of any
+    label space: Places365 (ported) or the in-repo panorama world
+    classifier (tools/train_scene_classifier.py)."""
+    return int(variables["params"]["Dense_0"]["kernel"].shape[-1])
+
+
+def save_classifier_npz(path: str, variables: Dict) -> None:
+    """Flatten ResNet18 variables into one npz (slash-joined keys)."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", variables)
+    np.savez_compressed(path, **flat)
+
+
+def load_classifier_npz(path: str) -> Dict:
+    """Inverse of save_classifier_npz."""
+    out: Dict[str, Any] = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key])
+    return out

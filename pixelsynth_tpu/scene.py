@@ -60,7 +60,13 @@ class SceneGenerator:
         self.num_samples = num_samples if num_samples is not None else sc.num_samples
         self.temperature = temperature if temperature is not None else sc.temperature
         self.cloud_capacity = cloud_capacity
-        self.classifier = ResNet18()
+        if classifier_vars is not None:
+            from pixelsynth_tpu.models.classifier import classifier_num_classes
+
+            self.classifier = ResNet18(
+                num_classes=classifier_num_classes(classifier_vars))
+        else:
+            self.classifier = ResNet18()
         self.classifier_vars = classifier_vars
         if classifier_vars is None and self.num_samples > 1:
             # the reference always re-ranks with D_Fake + Places365 entropy

@@ -304,3 +304,33 @@ def test_fused_pack_cache_never_stores_tracers(gen):
     c1 = ps._fused_pack_cache
     ps.make_sampling_logits_fn(pcnn_vars, masks)
     assert ps._fused_pack_cache is c1
+
+
+def test_generate_view_with_classifier_entropy(gen):
+    """Population path with a classifier attached: entropy is computed
+    in-graph per candidate (z_buffermodel.py:254-261) and feeds ranking."""
+    from pixelsynth_tpu.geometry.paths import get_rt_from_rot
+    from pixelsynth_tpu.models.classifier import ResNet18
+    from pixelsynth_tpu.scene import SceneGenerator
+
+    W = gen.ps.W
+    cls_vars = ResNet18(num_classes=3).init(
+        {"params": jax.random.PRNGKey(9)}, jnp.zeros((1, 224, 224, 3)),
+        train=False)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        gen2 = SceneGenerator(gen.ps, gen.variables, num_samples=2,
+                              cloud_capacity=2 * W * W,
+                              classifier_vars=cls_vars)
+    img = jax.random.uniform(jax.random.PRNGKey(8), (1, W, W, 3)) * 2 - 1
+    I = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    RTinv, RT = get_rt_from_rot("R", I, 2, 2)
+    cams = {"K": I, "Kinv": I, "P_in": I, "Pinv_in": I, "P_out": RT}
+    cloud = CloudState.empty(1, 2 * W * W, 3)
+    best, out = gen2.generate_view(img, cams, cloud, None, I,
+                                   jax.random.PRNGKey(10))
+    e = np.asarray(out["entropy"])
+    assert e.shape == (2,)
+    assert np.isfinite(e).all() and (e > 0).all()

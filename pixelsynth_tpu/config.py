@@ -88,6 +88,11 @@ class LMConvConfig:
     sample_backend: str = "fused"
     train_backend: str = "xla"        # backend for the differentiable path
                                       # ("pallas" uses the custom-VJP kernel)
+    # generation-order/mask builder inside the view step: "jax" = on-device
+    # masked-argmax loop (ops/orders_jax.py); "host" = C++ heap behind one
+    # pure_callback (the reference's Cython shape, z_buffermodel.py:690-699)
+    # -- flip from profiling, both are bit-exact (tests/test_orders_jax.py)
+    masks_backend: str = "jax"
 
 
 @dataclass

@@ -350,7 +350,7 @@ class PixelSynth:
         )
         return gen_fs, bg, new_state
 
-    def masks_for_background(self, bg_mask, *, host: bool = False):
+    def masks_for_background(self, bg_mask, *, host: Optional[bool] = None):
         """Full get_masks_for_batch (z_buffermodel.py:641-701), entirely on
         device: exact distance transform, greedy generation order as a
         masked-argmax loop (ops/orders_jax.py), and shift-comparison kernel
@@ -361,6 +361,8 @@ class PixelSynth:
         fg_ds = downsample_mask(~bg_mask)
         bg_ds = downsample_mask(bg_mask)
         l = self.cfg.model.lmconv
+        if host is None:
+            host = l.masks_backend == "host"
         distances = signed_distance_field(
             binarize_trunc(fg_ds), binarize_trunc(bg_ds), mode=l.dt_mode)
         if host:

@@ -77,7 +77,12 @@ def main():
         lambda f, d, c: ps.splat_cumulative(f, d, cams, c, None, cams0["Pinv"])[:2],
         fs, depth, cloud, reps=R) * 1e3
     out["masks_jax_ms"] = _time(
-        lambda b: ps.masks_for_background(b), bg, reps=R) * 1e3
+        lambda b: ps.masks_for_background(b, host=False), bg, reps=R) * 1e3
+    try:
+        out["masks_host_ms"] = _time(
+            lambda b: ps.masks_for_background(b, host=True), bg, reps=R) * 1e3
+    except Exception as e:  # host callback may be unavailable off-CPU
+        out["masks_host_ms"] = f"failed: {e}"
     out["vq_encode_ms"] = _time(
         lambda v, x: ps.vq_encode(v, x)[0], variables["vqvae"], gen_fs, reps=R) * 1e3
 

@@ -161,10 +161,13 @@ class SceneGenerator:
 
         def covered_branch(_):
             # nothing to outpaint anywhere in the batch: every candidate
-            # would be identical, so decode ONCE per item and broadcast --
-            # turns the sweep-back / video-frame views whose background is
-            # already filled into a single decoder pass instead of S
-            # (VERDICT r2 next-#3)
+            # carries the same codes, so decode ONCE per item and
+            # broadcast -- turns the sweep-back / video-frame views whose
+            # background is already filled into a single decoder pass
+            # instead of S (VERDICT r2 next-#3).  The population path
+            # would still differ per candidate by the decoder's
+            # noise-conditioned-BN draw; with nothing sampled that
+            # variation carries no signal, so collapsing it is the point.
             decoded = ps.vq_decode(variables["vqvae"], codes)
             combined = ps.combine(gen_fs, decoded, bg)
             one_imgs, _ = ps.decode_image(

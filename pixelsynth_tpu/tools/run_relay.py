@@ -127,13 +127,50 @@ def stage_data(cfg: Config, workdir: str, s: Dict):
     return {"train_shards": n, "val_shards": nv}
 
 
+def _best_val_mse(workdir: str) -> float:
+    """Best (min) held-out MSE across epochs -- what the best-ckpt that
+    stage_codes loads was selected on."""
+    path = os.path.join(workdir, "vqvae_metrics.jsonl")
+    best = float("inf")
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "val_mse" in rec:
+                best = min(best, float(rec["val_mse"]))
+    return best
+
+
 def stage_vqvae(cfg: Config, workdir: str, s: Dict):
+    """Stage 1 with a convergence gate: relay attempt 1 failed its quality
+    gate solely because this stage converged 8x worse than its own evidence
+    run (val_mse 0.055 vs ~0.007 -- evidence/relay_attempt1/README.md); a
+    bad codebook bounds everything decoded downstream.  Retry with a fresh
+    seed rather than silently feeding a bad VQ to six more stages."""
     from pixelsynth_tpu.train.loop import run_vqvae
 
-    return run_vqvae(
-        _with_batch(cfg, s["vq_batch"]), workdir,
-        epochs=s["vq_epochs"], iters_per_epoch=s["iters_per_epoch"],
-    )
+    gate = s.get("vq_gate_mse", float("inf"))
+    best = float("inf")
+    last: Dict = {}
+    for attempt in range(s.get("vq_attempts", 3)):
+        c = _with_batch(cfg, s["vq_batch"])
+        c.train.seed = cfg.train.seed + 1000 * attempt
+        if attempt:
+            print(f"[relay] vqvae: best val_mse {best:.4f} > gate {gate}, "
+                  f"retraining with seed {c.train.seed}")
+            _purge_stage_state(workdir, "vqvae")
+        last = run_vqvae(
+            c, workdir,
+            epochs=s["vq_epochs"], iters_per_epoch=s["iters_per_epoch"],
+        )
+        best = _best_val_mse(workdir)
+        last["best_val_mse"] = best
+        last["vq_attempt"] = attempt
+        if best <= gate:
+            return last
+    raise RuntimeError(
+        f"vqvae convergence gate failed after retries: best val_mse "
+        f"{best:.4f} > {gate} -- refusing to train downstream stages "
+        f"against a bad codebook")
 
 
 def _load_vq_vars(cfg: Config, workdir: str) -> Dict:
@@ -364,6 +401,8 @@ def settings(smoke: bool, width: int, evidence_dir: str) -> Dict:
         iters_per_epoch=250, val_iters=16, vq_batch=32, vq_epochs=16,
         dpr_batch=4, dpr_pre_epochs=20, dpr_epochs=28, lm_batch=32,
         lm_epochs=28, n_orders=2048, evidence_dir=evidence_dir, smoke=False,
+        # relay attempt 1 failed at 0.055; the healthy runs land ~0.007
+        vq_gate_mse=0.02, vq_attempts=3,
     )
 
 

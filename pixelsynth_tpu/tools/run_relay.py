@@ -388,13 +388,26 @@ def stage_report(cfg: Config, workdir: str, s: Dict):
 # ---------------------------------------------------------------------------
 
 
-def settings(smoke: bool, width: int, evidence_dir: str) -> Dict:
+def settings(smoke: bool, width: int, evidence_dir: str,
+             profile: str = "full") -> Dict:
     if smoke:
         return dict(
             n_train=96, n_val=32, shard_size=32, max_rotation=35.0,
             iters_per_epoch=4, val_iters=2, vq_batch=8, vq_epochs=2,
             dpr_batch=2, dpr_pre_epochs=1, dpr_epochs=1, lm_batch=8,
             lm_epochs=2, n_orders=32, evidence_dir=evidence_dir, smoke=True,
+        )
+    if profile == "fast":
+        # wall-clock-budgeted relay (~45 min on one v5e): same chained
+        # pipeline and gates at roughly half the step counts.  Used when a
+        # session cannot fit the full profile; the report stage measures
+        # the artifact the same way either way.
+        return dict(
+            n_train=2048, n_val=192, shard_size=512, max_rotation=40.0,
+            iters_per_epoch=250, val_iters=12, vq_batch=32, vq_epochs=8,
+            dpr_batch=4, dpr_pre_epochs=8, dpr_epochs=12, lm_batch=32,
+            lm_epochs=12, n_orders=1024, evidence_dir=evidence_dir,
+            smoke=False, vq_gate_mse=0.02, vq_attempts=2,
         )
     return dict(
         n_train=4096, n_val=256, shard_size=512, max_rotation=40.0,
@@ -446,7 +459,8 @@ def _purge_stage_state(workdir: str, stage: str):
 
 def run_relay(workdir: str, evidence_dir: str, *, width: int = 128,
               smoke: bool = False, force_from: Optional[str] = None,
-              only: Optional[List[str]] = None) -> Dict:
+              only: Optional[List[str]] = None,
+              profile: str = "full") -> Dict:
     os.makedirs(workdir, exist_ok=True)
     os.makedirs(evidence_dir, exist_ok=True)
     data_dir = os.path.join(workdir, "shards")
@@ -455,7 +469,7 @@ def run_relay(workdir: str, evidence_dir: str, *, width: int = 128,
         cfg.sample.directions = ("R", "L")
         cfg.sample.num_split = 2
         cfg.sample.num_samples = 2
-    s = settings(smoke, width, evidence_dir)
+    s = settings(smoke, width, evidence_dir, profile)
 
     forced = False
     results = {}
@@ -492,10 +506,12 @@ def main(argv=None):
     ap.add_argument("--force-from", default=None, choices=STAGES)
     ap.add_argument("--only", default=None,
                     help="comma-separated stage subset")
+    ap.add_argument("--profile", default="full", choices=["full", "fast"])
     args = ap.parse_args(argv)
     run_relay(args.workdir, args.evidence, width=args.width, smoke=args.smoke,
               force_from=args.force_from,
-              only=args.only.split(",") if args.only else None)
+              only=args.only.split(",") if args.only else None,
+              profile=args.profile)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,11 @@ class SplatConfig:
     # "counting" = scatter + exact-f32 per-tile z sort (bit-faithful to the
     # dense reference order, but entry-order truncation on overflow)
     binning: str = "argsort"
+    # argsort-binning sort engine: "xla" = lax.sort_key_val (latency-bound,
+    # ~30 ms at 1M keys); "pallas" = VMEM-resident bitonic network
+    # (ops/sort_pallas, bit-identical output; falls back to xla when the
+    # padded per-image entry count exceeds 2^20)
+    sort_backend: str = "xla"
 
 
 @dataclass

@@ -234,6 +234,73 @@ def _bin_points_batched(points: jnp.ndarray, valid: jnp.ndarray, W: int,
     return slot_point_idx, slot_valid
 
 
+def _bin_points_batched_pallas(points: jnp.ndarray, valid: jnp.ndarray,
+                               W: int, cfg: SplatConfig):
+    """Same contract as `_bin_points_batched`, but the sort runs in ONE
+    Pallas program per image (ops/sort_pallas) instead of XLA's
+    latency-bound multi-pass sorting network (~30 ms at 1M keys, the floor
+    under the splat -- ROADMAP perf note 2).  Output is bit-identical
+    whenever the whole-batch path also had 16 depth-bucket bits (B*(nT+1)
+    <= 2^15); for larger batches the per-image key simply keeps FINER
+    z-buckets than the batched key could.
+
+    Per-image keys pack (tile, depth-bucket); tile segments never cross
+    images, so each image's 4N candidate entries sort independently.  The
+    in-kernel value carry is the entry index, which recovers the point
+    index as ``entry % N`` ((4, N) flattening) and reproduces the stable
+    sort's tie order exactly.
+    """
+    from pixelsynth_tpu.ops.sort_pallas import sort_kv_pallas
+
+    B, N, _ = points.shape
+    nside = W // cfg.tile_size
+    nT = nside * nside
+    M = cfg.max_points_per_tile
+
+    tile_id, emask, on_screen = jax.vmap(
+        lambda p, v: _tile_entries(p, v, W, cfg)
+    )(points, valid)                                   # (B, 4, N) each
+
+    seg_bits = (nT + 1).bit_length()                   # tiles 0..nT-1 + mask
+    bucket_bits = min(16, 31 - seg_bits)
+    nBuckets = 1 << bucket_bits
+
+    depth = points[..., 2]
+    big = jnp.float32(3.0e38)
+    dmin = jnp.min(jnp.where(on_screen, depth, big), axis=1)
+    dmax = jnp.max(jnp.where(on_screen, depth, -big), axis=1)
+    scale = (nBuckets - 1) / jnp.maximum(dmax - dmin, 1e-6)
+    bucket = jnp.clip((depth - dmin[:, None]) * scale[:, None],
+                      0, nBuckets - 1).astype(jnp.int32)
+
+    key = (tile_id << bucket_bits) + bucket[:, None, :]          # (B, 4, N)
+    key = jnp.where(emask, key, jnp.int32(nT) << bucket_bits)
+    key = key.reshape(B, 4 * N)
+
+    E = 4 * N
+    E_pad = 1 << max(14, (E - 1).bit_length())
+    # padding entries get the same masked-sentinel segment (nT): they sort
+    # behind every real tile segment and fail the seg-equality slot check
+    if E_pad > E:
+        key = jnp.pad(key, ((0, 0), (0, E_pad - E)),
+                      constant_values=nT << bucket_bits)
+
+    sorted_key, sorted_entry = sort_kv_pallas(key)
+    sorted_point = sorted_entry % N                    # (4, N) flattening
+    sorted_seg = sorted_key >> bucket_bits
+
+    want_tile = jax.lax.broadcasted_iota(jnp.int32, (B, nT), 1)
+    offsets = jax.vmap(jnp.searchsorted)(
+        sorted_key, (want_tile << bucket_bits)).astype(jnp.int32)
+
+    slot = offsets[..., None] + jnp.arange(M, dtype=jnp.int32)
+    slot_c = jnp.clip(slot, 0, E_pad - 1)
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    slot_point_idx = take(sorted_point, slot_c)
+    slot_valid = take(sorted_seg, slot_c) == want_tile[..., None]
+    return slot_point_idx, slot_valid
+
+
 def _bin_points_counting(points: jnp.ndarray, valid: jnp.ndarray, W: int,
                          cfg: SplatConfig, chunk: int = 8192):
     """Counting-sort binning: no global sort over 4N fused keys.
@@ -303,6 +370,18 @@ def _bin_points_counting(points: jnp.ndarray, valid: jnp.ndarray, W: int,
     return slot_point_idx, slot_valid
 
 
+def _bin_dispatch(points, valid, W: int, cfg: SplatConfig):
+    """Route to the configured binning implementation (all three produce
+    the same (slot_point_idx, slot_valid) contract)."""
+    if cfg.binning == "counting":
+        return jax.vmap(
+            lambda p, v: _bin_points_counting(p, v, W, cfg)
+        )(points, valid)
+    if cfg.sort_backend == "pallas" and 4 * points.shape[1] <= (1 << 20):
+        return _bin_points_batched_pallas(points, valid, W, cfg)
+    return _bin_points_batched(points, valid, W, cfg)
+
+
 def _blend_tiles(
     slot_pts: jnp.ndarray,
     slot_feats: jnp.ndarray,
@@ -357,18 +436,20 @@ def _blend_tiles(
 @functools.partial(
     jax.jit, static_argnames=("W", "radius", "pp_pixel", "tau", "rad_pow",
                               "accumulation", "bg_ksize", "tile_size",
-                              "max_points_per_tile", "tile_group", "binning")
+                              "max_points_per_tile", "tile_group", "binning",
+                              "sort_backend")
 )
 def _splat_impl(
     points, feats, valid, *, W, radius, pp_pixel, tau, rad_pow, accumulation,
     bg_ksize, tile_size, max_points_per_tile, tile_group, binning="argsort",
+    sort_backend="xla",
 ):
     cfg = SplatConfig(
         radius=radius, pp_pixel=pp_pixel, tau=tau, rad_pow=rad_pow,
         accumulation=accumulation,
         background_smoothing_kernel_size=bg_ksize,
         tile_size=tile_size, max_points_per_tile=max_points_per_tile,
-        tile_group=tile_group, binning=binning,
+        tile_group=tile_group, binning=binning, sort_backend=sort_backend,
     )
     TS = cfg.tile_size
     nside = W // TS
@@ -379,12 +460,7 @@ def _splat_impl(
     t_col = (jnp.arange(nT, dtype=jnp.float32) % nside) * TS
     origins = jnp.stack([t_row, t_col], axis=-1)  # (nT, 2)
 
-    if cfg.binning == "counting":
-        slot_idx_all, slot_valid_all = jax.vmap(
-            lambda p, v: _bin_points_counting(p, v, W, cfg)
-        )(points, valid)
-    else:
-        slot_idx_all, slot_valid_all = _bin_points_batched(points, valid, W, cfg)
+    slot_idx_all, slot_valid_all = _bin_dispatch(points, valid, W, cfg)
 
     def per_image(pts, fts, slot_idx, slot_valid):
         G = cfg.tile_group
@@ -451,6 +527,7 @@ def splat(
         tile_size=cfg.tile_size,
         max_points_per_tile=cfg.max_points_per_tile,
         tile_group=cfg.tile_group, binning=cfg.binning,
+        sort_backend=cfg.sort_backend,
     )
 
 

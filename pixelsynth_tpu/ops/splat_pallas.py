@@ -32,9 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pixelsynth_tpu.config import SplatConfig
 from pixelsynth_tpu.ops.masked_conv_pallas import _use_interpret
-from pixelsynth_tpu.ops.splat import (
-    _bin_points_batched, _bin_points_counting, dilate_mask,
-)
+from pixelsynth_tpu.ops.splat import _bin_dispatch, dilate_mask
 
 CHUNK = 128
 
@@ -110,17 +108,18 @@ def _blend_kernel(pts_ref, feats_ref, valid_ref, origin_ref, tri_ref,
     jax.jit,
     static_argnames=("W", "radius", "pp_pixel", "tau", "rad_pow",
                      "accumulation", "bg_ksize", "tile_size",
-                     "max_points_per_tile", "binning"),
+                     "max_points_per_tile", "binning", "sort_backend"),
 )
 def _splat_pallas_impl(points, feats, valid, *, W, radius, pp_pixel, tau,
                        rad_pow, accumulation, bg_ksize, tile_size,
-                       max_points_per_tile, binning="argsort"):
+                       max_points_per_tile, binning="argsort",
+                       sort_backend="xla"):
     cfg = SplatConfig(
         radius=radius, pp_pixel=pp_pixel, tau=tau, rad_pow=rad_pow,
         accumulation=accumulation,
         background_smoothing_kernel_size=bg_ksize,
         tile_size=tile_size, max_points_per_tile=max_points_per_tile,
-        binning=binning,
+        binning=binning, sort_backend=sort_backend,
     )
     TS = tile_size
     nside = W // TS
@@ -142,12 +141,7 @@ def _splat_pallas_impl(points, feats, valid, *, W, radius, pp_pixel, tau,
         pp_pixel=pp_pixel, tau=tau, rad_pow=rad_pow, accumulation=accumulation,
     )
 
-    if cfg.binning == "counting":
-        slot_idx_all, slot_valid_all = jax.vmap(
-            lambda p, v: _bin_points_counting(p, v, W, cfg)
-        )(points, valid)
-    else:
-        slot_idx_all, slot_valid_all = _bin_points_batched(points, valid, W, cfg)
+    slot_idx_all, slot_valid_all = _bin_dispatch(points, valid, W, cfg)
 
     def per_image(pts, fts, slot_idx, slot_valid):
         spts = pts[slot_idx]                                  # (nT, M, 3)
@@ -205,7 +199,7 @@ def splat_pallas(points, feats, valid, *, W, cfg: SplatConfig):
     key = (W, cfg.radius, cfg.pp_pixel, cfg.tau, cfg.rad_pow,
            cfg.accumulation, cfg.background_smoothing_kernel_size,
            cfg.tile_size, cfg.max_points_per_tile, cfg.tile_group,
-           cfg.binning)
+           cfg.binning, cfg.sort_backend)
     return _splat_pallas_diff(key)(points, feats, valid)
 
 
@@ -215,12 +209,12 @@ import functools as _functools
 @_functools.lru_cache(maxsize=16)
 def _splat_pallas_diff(key):
     (W, radius, pp_pixel, tau, rad_pow, accumulation, bg_ksize, tile_size,
-     max_points_per_tile, tile_group, binning) = key
+     max_points_per_tile, tile_group, binning, sort_backend) = key
     cfg = SplatConfig(
         radius=radius, pp_pixel=pp_pixel, tau=tau, rad_pow=rad_pow,
         accumulation=accumulation, background_smoothing_kernel_size=bg_ksize,
         tile_size=tile_size, max_points_per_tile=max_points_per_tile,
-        tile_group=tile_group, binning=binning,
+        tile_group=tile_group, binning=binning, sort_backend=sort_backend,
     )
 
     @jax.custom_vjp
@@ -230,6 +224,7 @@ def _splat_pallas_diff(key):
             tau=tau, rad_pow=rad_pow, accumulation=accumulation,
             bg_ksize=bg_ksize, tile_size=tile_size,
             max_points_per_tile=max_points_per_tile, binning=binning,
+            sort_backend=sort_backend,
         )
 
     def fwd(points, feats, valid):
@@ -247,6 +242,7 @@ def _splat_pallas_diff(key):
                 rad_pow=rad_pow, accumulation=accumulation, bg_ksize=bg_ksize,
                 tile_size=tile_size, max_points_per_tile=max_points_per_tile,
                 tile_group=tile_group, binning=binning,
+                sort_backend=sort_backend,
             )
             return out
 

@@ -100,8 +100,16 @@ def _gaussian_window(size: int, sigma: float):
 
 
 def ssim(pred: jnp.ndarray, gt: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Gaussian-window SSIM (models/losses/ssim.py semantics), NHWC."""
+    """Gaussian-window SSIM (models/losses/ssim.py semantics), NHWC.
+
+    The window convolutions run at Precision.HIGHEST in float32: TPU's
+    default conv precision truncates inputs to bf16, which corrupts the
+    variance terms (s1/s2 are small differences of large moments) badly
+    enough to push SSIM outside [-1, 1] on real images.
+    """
     C = pred.shape[-1]
+    pred = pred.astype(jnp.float32)
+    gt = gt.astype(jnp.float32)
     w = jnp.asarray(_gaussian_window(window_size, 1.5))
     kernel = jnp.zeros((window_size, window_size, 1, C))
     for c in range(C):
@@ -114,6 +122,7 @@ def ssim(pred: jnp.ndarray, gt: jnp.ndarray, window_size: int = 11) -> jnp.ndarr
             padding=[(window_size // 2, window_size // 2)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mu1, mu2 = filt(pred), filt(gt)

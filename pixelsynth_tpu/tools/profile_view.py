@@ -139,7 +139,9 @@ def main():
         ts.append(time.perf_counter() - t0)
     out["view_step_ms"] = float(np.median(ts)) * 1e3
     out["stage_sum_ms"] = round(sum(
-        v for k, v in out.items() if k.endswith("_ms") and k != "view_step_ms"), 1)
+        v for k, v in out.items()
+        if k.endswith("_ms") and k != "view_step_ms"
+        and isinstance(v, (int, float))), 1)
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in out.items()}))
 

@@ -45,6 +45,7 @@ from pixelsynth_tpu.ops.masked_conv_pallas import _use_interpret
 
 _LANES = 128
 _MIN_E = _LANES * _LANES  # one (128, 128) block
+MAX_E = 1 << 19  # VMEM-verified ceiling (see sort_kv_pallas docstring)
 
 
 def _cmpswap(k, v, pk, pv, lower, asc):
@@ -85,14 +86,19 @@ def _transpose_blocks(x, R):
             .reshape(R, _LANES)
 
 
-def _sort_kernel(keys_ref, out_k_ref, out_v_ref, *, E):
+def _sort_network(k, *, E):
+    """The full bitonic network on a (R, 128) key grid; returns (k, v).
+
+    Pure function of the key grid so tests can run the IDENTICAL network
+    (including the multi-block stage>=8 direction logic) under plain
+    XLA:CPU jit without Pallas interpret-mode overhead.
+    """
     R = E // _LANES
     m = E.bit_length() - 1
 
     row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
 
-    k = keys_ref[0]
     v = row * _LANES + lane  # original element index (row-major layout)
 
     # In the block-transposed layout T, element e = blk*2^14 + lane*128 +
@@ -146,6 +152,11 @@ def _sort_kernel(keys_ref, out_k_ref, out_v_ref, *, E):
         kT, vT = run_t_passes(kT, vT, stage, 7)
         k, v = _transpose_blocks(kT, R), _transpose_blocks(vT, R)
 
+    return k, v
+
+
+def _sort_kernel(keys_ref, out_k_ref, out_v_ref, *, E):
+    k, v = _sort_network(keys_ref[0], E=E)
     out_k_ref[0] = k
     out_v_ref[0] = v
 
@@ -155,11 +166,15 @@ def sort_kv_pallas(keys: jnp.ndarray):
     """Sort each row of ``keys`` (B, E) i32 ascending.
 
     Returns (sorted_keys (B, E), original_index (B, E) i32), bit-equal to a
-    stable per-row sort.  E must be a power of two in [2**14, 2**20].
+    stable per-row sort.  E must be a power of two in [2**14, 2**19]: at
+    2**20 the live VMEM working set (k+v grids plus partner/roll and
+    double-buffered in/out blocks) exceeds the ~16 MB physical VMEM, so the
+    cap stays at 2**19 (the bench protocol size) until a larger size is
+    compile-verified on hardware.
     """
     B, E = keys.shape
-    if E & (E - 1) or not (_MIN_E <= E <= 1 << 20):
-        raise ValueError(f"E must be a power of two in [2^14, 2^20], got {E}")
+    if E & (E - 1) or not (_MIN_E <= E <= MAX_E):
+        raise ValueError(f"E must be a power of two in [2^14, 2^19], got {E}")
     R = E // _LANES
     kern = functools.partial(_sort_kernel, E=E)
     out_k, out_v = pl.pallas_call(

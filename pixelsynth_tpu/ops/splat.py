@@ -261,7 +261,11 @@ def _bin_points_batched_pallas(points: jnp.ndarray, valid: jnp.ndarray,
         lambda p, v: _tile_entries(p, v, W, cfg)
     )(points, valid)                                   # (B, 4, N) each
 
-    seg_bits = (nT + 1).bit_length()                   # tiles 0..nT-1 + mask
+    # segment values span 0..nT (tiles 0..nT-1 + the masked segment nT),
+    # needing nT.bit_length() bits -- matches _bin_points_batched's
+    # (X-1).bit_length() convention and saves a depth-bucket bit when
+    # nT + 1 is a power of two
+    seg_bits = nT.bit_length()
     bucket_bits = min(16, 31 - seg_bits)
     nBuckets = 1 << bucket_bits
 
@@ -377,8 +381,14 @@ def _bin_dispatch(points, valid, W: int, cfg: SplatConfig):
         return jax.vmap(
             lambda p, v: _bin_points_counting(p, v, W, cfg)
         )(points, valid)
-    if cfg.sort_backend == "pallas" and 4 * points.shape[1] <= (1 << 20):
-        return _bin_points_batched_pallas(points, valid, W, cfg)
+    if cfg.sort_backend == "pallas":
+        from pixelsynth_tpu.ops.masked_conv_pallas import _use_interpret
+        from pixelsynth_tpu.ops.sort_pallas import MAX_E
+
+        # off-TPU the kernel would run in interpret mode (minutes per
+        # sort); fall back to the XLA path there
+        if 4 * points.shape[1] <= MAX_E and not _use_interpret():
+            return _bin_points_batched_pallas(points, valid, W, cfg)
     return _bin_points_batched(points, valid, W, cfg)
 
 

@@ -58,3 +58,29 @@ def test_binning_pallas_matches_xla():
     ok = np.asarray(ref_ok)
     # point ids only meaningful in valid slots
     assert np.array_equal(np.asarray(ref_idx)[ok], np.asarray(got_idx)[ok])
+
+
+def test_sort_network_multiblock():
+    """E >= 2^15 exercises the multi-block direction logic (asc_t for
+    stage >= 8 via r_x with blk > 0) that the 2^19 bench protocol depends
+    on.  Runs the IDENTICAL network body (_sort_network) under plain
+    XLA:CPU jit -- interpret-mode pallas at this size would take minutes."""
+    import functools
+
+    from pixelsynth_tpu.ops.sort_pallas import _LANES, _sort_network
+
+    rng = np.random.default_rng(2)
+    for E in (1 << 15, 1 << 16):
+        keys = rng.integers(0, 1000, size=E).astype(np.int32)  # dup-heavy
+        grid = jnp.asarray(keys.reshape(E // _LANES, _LANES))
+        k, v = jax.jit(functools.partial(_sort_network, E=E))(grid)
+        ref = np.argsort(keys, kind="stable")
+        assert np.array_equal(np.asarray(k).reshape(-1), keys[ref])
+        assert np.array_equal(np.asarray(v).reshape(-1), ref)
+
+
+def test_sort_rejects_oversized():
+    from pixelsynth_tpu.ops.sort_pallas import MAX_E
+
+    with pytest.raises(ValueError):
+        sort_kv_pallas(jnp.zeros((1, MAX_E * 2), jnp.int32))

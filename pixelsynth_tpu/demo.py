@@ -73,6 +73,7 @@ def load_model(ckpt_dir: Optional[str], cfg: Optional[Config] = None):
     already carries every tree)."""
     from pixelsynth_tpu.checkpoint import CheckpointManager
     from pixelsynth_tpu.train.dpr import create_dpr_state
+    from pixelsynth_tpu.utils.devices import put_variables
 
     if ckpt_dir is not None and ckpt_dir.endswith(".npz"):
         # single-file stitched artifact (tools/stitch_checkpoint.py)
@@ -86,9 +87,9 @@ def load_model(ckpt_dir: Optional[str], cfg: Optional[Config] = None):
         if ps.encoder is not None:
             needed.add("encoder")
         if needed <= set(stitched):
-            return ps, stitched
+            return ps, put_variables(stitched)
         variables = ps.init_variables(jax.random.PRNGKey(0))
-        return ps, {**variables, **stitched}
+        return ps, put_variables({**variables, **stitched})
     if ckpt_dir is not None:
         mgr = CheckpointManager(os.path.join(ckpt_dir, "dpr"))
         cfg = mgr.load_config() or cfg or Config()
@@ -99,10 +100,10 @@ def load_model(ckpt_dir: Optional[str], cfg: Optional[Config] = None):
         mgr.close()
         variables = {**variables, **state.gen_vars,
                      **state.frozen_vars, "disc": state.disc_vars}
-        return ps, variables
+        return ps, put_variables(variables)
     cfg = cfg or Config()
     ps = PixelSynth(cfg)
-    return ps, ps.init_variables(jax.random.PRNGKey(0))
+    return ps, put_variables(ps.init_variables(jax.random.PRNGKey(0)))
 
 
 def save_scene(outputs: Dict[str, np.ndarray], cfg: Config, result_folder: str):
@@ -152,7 +153,14 @@ def main(argv=None):
         raise SystemExit(f"error: input image not found: {args.img}")
 
     ps, variables = load_model(args.ckpt_dir)
+    # a stitched artifact may carry its own re-ranking classifier
+    # (tools/stitch_checkpoint.py --classifier); explicit --weights-dir
+    # Places365 weights override it below when present
+    stitched_classifier = variables.pop("classifier", None)
     variables, classifier_vars = load_ported_weights(variables, args.weights_dir)
+    if classifier_vars is None and stitched_classifier is not None:
+        classifier_vars = stitched_classifier
+        print("using the stitched checkpoint's scene classifier for re-ranking")
     cfg = ps.cfg
     if args.num_split is not None:
         cfg.sample.num_split = args.num_split

@@ -54,8 +54,14 @@ class SceneGenerator:
         then sharded over the mesh's data axis, so every chip advances its
         slice of the samples in the same loop (the BASELINE "one sharded
         sampling loop"; num_samples should be a multiple of the axis size)."""
+        from pixelsynth_tpu.utils.devices import put_variables
+
         self.ps = ps
-        self.variables = variables
+        # commit weights to device ONCE: host-backed trees would otherwise
+        # be re-uploaded on every jitted view step (the r3 view-time
+        # regression -- see utils/devices.py)
+        self.variables = put_variables(variables, mesh)
+        classifier_vars = put_variables(classifier_vars, mesh)
         sc = ps.cfg.sample
         self.num_samples = num_samples if num_samples is not None else sc.num_samples
         self.temperature = temperature if temperature is not None else sc.temperature

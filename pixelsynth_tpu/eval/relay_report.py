@@ -124,7 +124,8 @@ def paired_eval(ps, variables, gen, batches: List[Dict]) -> Dict[str, float]:
 
 def two_image_consistency(ps, variables, batches: List[Dict],
                           num_samples: int, temperature: float,
-                          max_items: int = 16) -> Dict[str, float]:
+                          max_items: int = 16,
+                          classifier_vars=None) -> Dict[str, float]:
     """gen_two_imgs + exact-homography overlap PSNR
     (eval_consistency.py:101-149 protocol)."""
     import jax.numpy as jnp
@@ -134,7 +135,8 @@ def two_image_consistency(ps, variables, batches: List[Dict],
     from pixelsynth_tpu.scene import TwoImageGenerator
 
     tig = TwoImageGenerator(ps, variables, num_samples=num_samples,
-                            temperature=temperature)
+                            temperature=temperature,
+                            classifier_vars=classifier_vars)
     rng_np = np.random.default_rng(9)
     vals, overlaps = [], []
     done = 0
@@ -233,6 +235,7 @@ def build_report(cfg: Config, workdir: str, evidence_dir: str, *,
 
     npz = os.path.join(evidence_dir, "stitched.npz")
     ps, variables = demo_cli.load_model(npz)
+    classifier_vars = variables.pop("classifier", None)
     cfg = ps.cfg
     # paired + consistency evals run the reference's standard eval protocol
     # temperature T=0.5 (scripts/eval_quality_realestate.sh,
@@ -240,11 +243,14 @@ def build_report(cfg: Config, workdir: str, evidence_dir: str, *,
     # (checkpoint temperature, scripts/demo_scene.sh T=0.7)
     eval_temperature = 0.5
     gen = SceneGenerator(ps, variables, num_samples=num_samples,
-                         temperature=eval_temperature)
+                         temperature=eval_temperature,
+                         classifier_vars=classifier_vars)
 
     report: Dict = {"config_W": cfg.model.W, "num_samples": num_samples,
                     "temperature": eval_temperature,
                     "scene_temperature": cfg.sample.temperature,
+                    "classifier": ("trained" if classifier_vars is not None
+                                   else "absent"),
                     "time": time.time()}
 
     batches = _val_batches(os.path.join(workdir, "shards"),
@@ -256,7 +262,7 @@ def build_report(cfg: Config, workdir: str, evidence_dir: str, *,
     t0 = time.time()
     report.update(two_image_consistency(
         ps, variables, batches, num_samples, eval_temperature,
-        max_items=4 if smoke else 16))
+        max_items=4 if smoke else 16, classifier_vars=classifier_vars))
     report["consistency_seconds"] = time.time() - t0
 
     # the actual demo CLI, end to end, on the held-out world

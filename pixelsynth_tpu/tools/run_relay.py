@@ -43,7 +43,7 @@ import numpy as np
 from pixelsynth_tpu.config import Config
 
 STAGES = ["data", "vqvae", "codes", "dpr_pre", "orders", "lmconv", "dpr",
-          "stitch", "report"]
+          "classifier", "stitch", "report"]
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +79,10 @@ def relay_config(width: int, data_dir: str) -> Config:
     cfg.model.lmconv.obs = (3, width // 8, width // 8)
     cfg.model.train_depth = True          # pano shards carry GT depth
     cfg.model.lmconv.ema_decay = 0.9995
-    cfg.sample.num_samples = 4
+    # 8 candidates per view (r3 used 4): the r4 device-placement fix cut
+    # the view step 12x, so a bigger ranked population is nearly free and
+    # the new classifier entropy term has real candidates to rank
+    cfg.sample.num_samples = 8
     cfg.sample.num_split = 8
     cfg.sample.temperature = 0.7
     return cfg
@@ -114,11 +117,28 @@ def stage_data(cfg: Config, workdir: str, s: Dict):
     )
     # held-out demo world: input view from the origin at identity yaw ==
     # exactly the demo CLI's camera (demo.py:27-45; test_panorama.py proves
-    # the convention match)
+    # the convention match).  Reject worlds whose rendered input view is
+    # near-featureless (r3's demo world was a flat green gradient -- the
+    # scene strips could not demonstrate structure preservation): require
+    # real per-channel variance AND edge energy in the visible window.
     rng = np.random.default_rng(31337)
-    world = make_world(rng)
     P0 = camera_pose(np.zeros(3), np.zeros(3))
-    img, depth = render_view(world, P0, cfg.model.W)
+    world, img, depth = None, None, None
+    best = (-1.0, None, None, None)
+    for _ in range(64):
+        cand = make_world(rng)
+        cimg, cdepth = render_view(cand, P0, cfg.model.W)
+        std = float(np.mean(np.std(cimg, axis=(0, 1))))
+        edges = float(np.mean(np.abs(np.diff(cimg, axis=0))) +
+                      np.mean(np.abs(np.diff(cimg, axis=1))))
+        score = std + 4.0 * edges
+        if score > best[0]:
+            best = (score, cand, cimg, cdepth)
+        if std > 0.3 and edges > 0.015:
+            world, img, depth = cand, cimg, cdepth
+            break
+    if world is None:  # fall back to the most structured candidate seen
+        _, world, img, depth = best
     save_png(os.path.join(workdir, "demo_input.png"), img)
     np.savez(os.path.join(workdir, "demo_world.npz"),
              texture=world["texture"], base_radius=world["base_radius"],
@@ -340,6 +360,34 @@ def _val_bpd(cfg: Config, pcnn_vars: Dict, codes: np.ndarray,
     return float(np.mean(vals) / np.log(2.0))
 
 
+def stage_classifier(cfg: Config, workdir: str, s: Dict):
+    """Train the re-ranking scene classifier so the stitched artifact ranks
+    candidates with BOTH terms (0.5*D_Fake + 0.5*classifier entropy) the
+    way the reference always does (z_buffermodel.py:244-276,
+    demo.py:233-243).  Trained at 224 px to match the rank-time
+    preprocess_for_classifier resize.  Gated on held-out-view accuracy:
+    a classifier at chance would make the entropy term noise."""
+    from pixelsynth_tpu.tools.train_scene_classifier import (
+        train_scene_classifier,
+    )
+
+    gate = s.get("classifier_gate_acc", 0.7)
+    best: Dict = {"val_accuracy": -1.0}
+    for attempt in range(2):
+        out = train_scene_classifier(
+            workdir, num_worlds=s.get("classifier_worlds", 32),
+            steps=s.get("classifier_steps", 600),
+            batch=16, image_size=s.get("classifier_size", 224),
+            seed=11 + 1000 * attempt)
+        if out["val_accuracy"] >= best["val_accuracy"]:
+            best = out
+        if out["val_accuracy"] >= gate:
+            return out
+    raise RuntimeError(
+        f"scene classifier gate failed: val_accuracy "
+        f"{best['val_accuracy']:.3f} < {gate} after retries")
+
+
 def stage_stitch(cfg: Config, workdir: str, s: Dict):
     from pixelsynth_tpu.tools.stitch_checkpoint import (
         load_dpr_state,
@@ -360,17 +408,20 @@ def stage_stitch(cfg: Config, workdir: str, s: Dict):
     bpd_lm = _val_bpd(cfg, lm_vars, codes_val, orders)
     use_lm = bpd_lm <= bpd_dpr
 
+    cls_npz = os.path.join(workdir, "scene_classifier.npz")
     stitch(
         dpr_dir, os.path.join(workdir, "stitched"),
         vqvae_dir=os.path.join(workdir, "vqvae"),
         lmconv_dir=os.path.join(workdir, "lmconv") if use_lm else None,
         npz_path=os.path.join(s["evidence_dir"], "stitched.npz"),
+        classifier_npz=cls_npz if os.path.exists(cls_npz) else None,
         meta={"val_bpd_lmconv_ema": bpd_lm, "val_bpd_dpr_joint": bpd_dpr,
               "prior": "lmconv_ema" if use_lm else "dpr_joint"},
     )
     npz = os.path.join(s["evidence_dir"], "stitched.npz")
     return {"val_bpd_lmconv_ema": bpd_lm, "val_bpd_dpr_joint": bpd_dpr,
             "prior": "lmconv_ema" if use_lm else "dpr_joint",
+            "classifier_stitched": os.path.exists(cls_npz),
             "npz_mb": os.path.getsize(npz) / 1e6}
 
 
@@ -396,6 +447,8 @@ def settings(smoke: bool, width: int, evidence_dir: str,
             iters_per_epoch=4, val_iters=2, vq_batch=8, vq_epochs=2,
             dpr_batch=2, dpr_pre_epochs=1, dpr_epochs=1, lm_batch=8,
             lm_epochs=2, n_orders=32, evidence_dir=evidence_dir, smoke=True,
+            classifier_steps=4, classifier_gate_acc=0.0, classifier_size=32,
+            classifier_worlds=4,
         )
     if profile == "fast":
         # wall-clock-budgeted relay (~45 min on one v5e): same chained
@@ -408,12 +461,17 @@ def settings(smoke: bool, width: int, evidence_dir: str,
             dpr_batch=4, dpr_pre_epochs=8, dpr_epochs=12, lm_batch=32,
             lm_epochs=12, n_orders=1024, evidence_dir=evidence_dir,
             smoke=False, vq_gate_mse=0.02, vq_attempts=2,
+            classifier_steps=400, classifier_gate_acc=0.6,
         )
     return dict(
-        n_train=4096, n_val=256, shard_size=512, max_rotation=40.0,
+        # r4: n_train 4096 -> 8192 and n_orders 2048 -> 4096 attack the
+        # stage-3 generalization gap VERDICT r3 measured (train bpd 1.99
+        # vs val 2.70) -- the worlds are procedural, so data is the cheap
+        # regularizer
+        n_train=8192, n_val=256, shard_size=512, max_rotation=40.0,
         iters_per_epoch=250, val_iters=16, vq_batch=32, vq_epochs=16,
         dpr_batch=4, dpr_pre_epochs=20, dpr_epochs=28, lm_batch=32,
-        lm_epochs=28, n_orders=2048, evidence_dir=evidence_dir, smoke=False,
+        lm_epochs=36, n_orders=4096, evidence_dir=evidence_dir, smoke=False,
         # relay attempt 1 failed at 0.055; the healthy runs land ~0.007
         vq_gate_mse=0.02, vq_attempts=3,
     )
@@ -422,7 +480,8 @@ def settings(smoke: bool, width: int, evidence_dir: str,
 STAGE_FNS = {
     "data": stage_data, "vqvae": stage_vqvae, "codes": stage_codes,
     "dpr_pre": stage_dpr_pre, "orders": stage_orders, "lmconv": stage_lmconv,
-    "dpr": stage_dpr, "stitch": stage_stitch, "report": stage_report,
+    "dpr": stage_dpr, "classifier": stage_classifier,
+    "stitch": stage_stitch, "report": stage_report,
 }
 
 # on-disk state each stage leaves behind (relative to workdir).  A re-run
@@ -438,6 +497,7 @@ STAGE_STATE = {
     "orders": ["orders.npy"],
     "lmconv": ["lmconv", "lmconv_samples", "lmconv_metrics.jsonl"],
     "dpr": ["dpr_final"],
+    "classifier": ["scene_classifier.npz", "scene_classifier.json"],
     "stitch": ["stitched"],
     "report": [],
 }

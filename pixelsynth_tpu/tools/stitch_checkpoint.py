@@ -153,13 +153,18 @@ def load_lmconv_variables(ckpt_dir: str, cfg: Config,
 
 def stitch(dpr_dir: str, out_dir: str, *, vqvae_dir: Optional[str] = None,
            lmconv_dir: Optional[str] = None, npz_path: Optional[str] = None,
+           classifier_npz: Optional[str] = None,
            meta: Optional[Dict] = None) -> Dict:
     """Assemble the final variables and write both checkpoint forms.
 
     DPR supplies unet/projector/encoder/disc (and its frozen vqvae/vgg);
     vqvae_dir/lmconv_dir override the vqvae / pixelcnn trees with the
     stage-1 / stage-3 artifacts (demo.py:198-243 load order: the AR and VQ
-    checkpoints win over what the DPR checkpoint carries)."""
+    checkpoints win over what the DPR checkpoint carries).
+    classifier_npz: a scene-classifier tree (models/classifier.py) packed
+    into the stitched .npz under "classifier" so the artifact re-ranks
+    candidates with BOTH terms (0.5*D_Fake + 0.5*entropy,
+    z_buffermodel.py:244-276) out of the box."""
     import dataclasses as _dc
 
     from pixelsynth_tpu.checkpoint import CheckpointManager
@@ -181,6 +186,10 @@ def stitch(dpr_dir: str, out_dir: str, *, vqvae_dir: Optional[str] = None,
 
     if npz_path:
         save_vars = {k: v for k, v in variables.items() if k != "vgg"}
+        if classifier_npz:
+            from pixelsynth_tpu.models.classifier import load_classifier_npz
+
+            save_vars["classifier"] = load_classifier_npz(classifier_npz)
         save_stitched_npz(npz_path, jax.device_get(save_vars), cfg, meta)
     return variables
 
@@ -192,9 +201,11 @@ def main(argv=None):
     ap.add_argument("--lmconv", default=None)
     ap.add_argument("--out", required=True)
     ap.add_argument("--npz", default=None)
+    ap.add_argument("--classifier", default=None,
+                    help="scene_classifier.npz to pack into the stitched npz")
     args = ap.parse_args(argv)
     stitch(args.dpr, args.out, vqvae_dir=args.vqvae, lmconv_dir=args.lmconv,
-           npz_path=args.npz)
+           npz_path=args.npz, classifier_npz=args.classifier)
     print(f"stitched checkpoint written to {args.out}")
 
 

@@ -43,9 +43,11 @@ def stitched():
     from pixelsynth_tpu.scene import SceneGenerator
 
     ps, variables = load_model(os.path.abspath(ARTIFACT))
+    classifier_vars = variables.pop("classifier", None)
     # the committed report measures at the reference's standard eval
     # temperature T=0.5 (scripts/eval_quality_realestate.sh); match it
-    gen = SceneGenerator(ps, variables, num_samples=2, temperature=0.5)
+    gen = SceneGenerator(ps, variables, num_samples=2, temperature=0.5,
+                         classifier_vars=classifier_vars)
     return ps, variables, gen
 
 
@@ -91,7 +93,11 @@ def test_outpainting_beats_no_outpaint_baseline(stitched, report):
     best, out = gen.generate_view(img, cams, cloud, None,
                                   jnp.asarray(shard["Pinv"][:, 0]),
                                   jax.random.PRNGKey(0))
-    nop = ps.render_no_outpaint(variables, img, cams)
+    # the noise rng feeds the decoder's noise-conditioned BN, exactly as
+    # eval/relay_report.py:99-100 passes it
+    nop = ps.render_no_outpaint(
+        variables, img, cams,
+        rngs={"noise": jax.random.fold_in(jax.random.PRNGKey(0), 1)})
     bg = np.asarray(out["bg"])
     gt01 = _to01(imgs[:, 1])
     pred01 = _to01(best)
@@ -134,6 +140,34 @@ def test_outpainting_beats_no_outpaint_baseline(stitched, report):
     assert np.mean(psnr) > report["paired_psnr"] - 3.0
 
 
+def test_stitched_artifact_ranks_with_classifier(stitched, report):
+    """The artifact must re-rank with BOTH terms -- 0.5*D_Fake +
+    0.5*classifier entropy -- like the reference always does
+    (z_buffermodel.py:244-276, demo.py:233-243).  r3 shipped
+    discriminator-only ranking."""
+    import jax.numpy as jnp
+
+    from pixelsynth_tpu.models.classifier import (
+        classifier_entropy,
+        preprocess_for_classifier,
+    )
+
+    ps, variables, gen = stitched
+    assert gen.classifier_vars is not None, (
+        "stitched.npz carries no scene classifier -- re-ranking degrades "
+        "to discriminator-only")
+    assert report.get("classifier") == "trained"
+    _, imgs = _fresh_pairs(ps.W, 2)
+    logits = gen.classifier.apply(
+        gen.classifier_vars,
+        preprocess_for_classifier(jnp.asarray(imgs[:, 0]) * 0.5 + 0.5))
+    ent = classifier_entropy(logits)
+    assert np.all(np.isfinite(np.asarray(ent)))
+    # a trained classifier is confident on real panorama views: entropy
+    # well below uniform ln(num_classes)
+    assert float(np.mean(ent)) < 0.8 * float(np.log(logits.shape[-1]))
+
+
 def test_scene_view_consistency(stitched, report):
     import jax
     import jax.numpy as jnp
@@ -145,19 +179,23 @@ def test_scene_view_consistency(stitched, report):
 
     ps, variables, gen = stitched
     W = ps.W
-    shard, imgs = _fresh_pairs(W, 2, seed=777)
-    tig = TwoImageGenerator(ps, variables, num_samples=2, temperature=0.5)
-    dirs = ["R", "L"]
+    # n=8 items: a 2-item sample measured sampling noise, not capability
+    # (r3 shipped a gate that sat at its own random-weights floor on n=2)
+    n = 8
+    shard, imgs = _fresh_pairs(W, n, seed=777)
+    tig = TwoImageGenerator(ps, variables, num_samples=2, temperature=0.5,
+                            classifier_vars=gen.classifier_vars)
+    dirs = ["R", "L", "U", "D", "R", "L", "UR", "DL"][:n]
     outputs = tig.generate_two_imgs(
-        jnp.asarray(imgs[:, 0]), jnp.asarray(np.repeat(shard["K"][None], 2, 0)),
-        jnp.asarray(np.repeat(shard["Kinv"][None], 2, 0)),
+        jnp.asarray(imgs[:, 0]), jnp.asarray(np.repeat(shard["K"][None], n, 0)),
+        jnp.asarray(np.repeat(shard["Kinv"][None], n, 0)),
         jnp.asarray(shard["P"][:, 0]), jnp.asarray(shard["Pinv"][:, 0]),
         dirs, rng=jax.random.PRNGKey(1),
     )
     full01 = _to01(outputs["PredImg_2"])
     half01 = _to01(outputs["PredImg_1"])
     vals = []
-    for i in range(2):
+    for i in range(n):
         _, P_full = get_rt_from_rot(dirs[i], shard["P"][i, 0], 2, 2)
         _, P_half = get_rt_from_rot(dirs[i], shard["P"][i, 0], 1, 2)
         m = consistency_exact(full01[i], half01[i], np.asarray(P_full),

@@ -179,8 +179,10 @@ def main():
 
     # batched population: all POP candidates advance per PixelCNN forward
     t_batched = run(POP, 3)
-    # reference strategy on the same hardware: one candidate at a time
-    t_seq1 = run(1, 1)
+    # reference strategy on the same hardware: one candidate at a time.
+    # 3 reps: a single rep made vs_baseline drift 1.41/1.35/1.24/1.73
+    # across otherwise-identical runs (the ratio was measurement noise)
+    t_seq1 = run(1, 3)
     t_sequential = t_seq1 * POP
 
     steps_per_sec = POP * N_BG / t_batched

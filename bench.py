@@ -226,6 +226,13 @@ def main():
         extra["spec_cell_ms"] = round(t_spec / N_BG * 1000, 3)
         extra["spec_cells_per_forward"] = round(
             float(st["max_n_bg"]) / float(st["n_forwards"]), 2)
+        # the SHIPPED path (population-batched + speculative, the
+        # config default) vs the reference's sampling strategy (one
+        # candidate at a time, one cell per forward) on this hardware.
+        # vs_baseline above deliberately isolates population batching
+        # alone and is kept semantically stable across rounds.
+        extra["shipped_speedup_vs_sequential"] = round(
+            t_sequential / t_spec, 2)
     except Exception as e:
         extra["spec_cell_ms"] = f"failed: {e}"
     try:

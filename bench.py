@@ -31,10 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_splat():
-    from pixelsynth_tpu.config import SplatConfig
-    from pixelsynth_tpu.ops.splat import splat
-
+def _splat_inputs():
     W, N, B = 256, 65536 * 2, 2
     rng = np.random.default_rng(0)
     pts = jnp.asarray(np.stack([
@@ -44,6 +41,14 @@ def bench_splat():
     ], -1).astype(np.float32))
     fts = jnp.asarray(rng.normal(size=(B, N, 64)).astype(np.float32))
     vld = jnp.asarray(rng.random((B, N)) < 0.9)
+    return W, pts, fts, vld
+
+
+def bench_splat():
+    from pixelsynth_tpu.config import SplatConfig
+    from pixelsynth_tpu.ops.splat import splat
+
+    W, pts, fts, vld = _splat_inputs()
     cfg = SplatConfig()
     f = jax.jit(lambda p, ft, v: splat(p, ft, v, W=W, cfg=cfg)[0].sum())
     float(f(pts, fts, vld))
@@ -51,6 +56,34 @@ def bench_splat():
     reps = 10
     for _ in range(reps):
         float(f(pts, fts, vld))
+    return (time.perf_counter() - t0) / reps * 1000
+
+
+def bench_splat_ingraph(reps: int = 10):
+    """Amortized: `reps` splats inside ONE jitted scan, one readback.
+
+    Subtracts the per-dispatch tunnel floor (~24 ms through axon,
+    evidence/profile_hotspots_r4.json) that inflates bench_splat; the
+    per-step z perturbation depends on the loop carry so XLA cannot
+    hoist the splat out of the scan."""
+    from jax import lax
+
+    from pixelsynth_tpu.config import SplatConfig
+    from pixelsynth_tpu.ops.splat import splat
+
+    W, pts, fts, vld = _splat_inputs()
+    cfg = SplatConfig()
+
+    def body(carry, i):
+        p = pts.at[..., 2].add(1e-3 * i.astype(jnp.float32) + 1e-6 * carry)
+        img, _ = splat(p, fts, vld, W=W, cfg=cfg)
+        return carry + img.sum(), None
+
+    f = jax.jit(
+        lambda: lax.scan(body, jnp.float32(0.0), jnp.arange(reps))[0])
+    float(f())  # compile
+    t0 = time.perf_counter()
+    float(f())
     return (time.perf_counter() - t0) / reps * 1000
 
 
@@ -239,6 +272,10 @@ def main():
         extra["splat_ms"] = round(bench_splat(), 2)
     except Exception as e:  # never lose the headline metric
         extra["splat_ms"] = f"failed: {e}"
+    try:
+        extra["splat_ms_ingraph"] = round(bench_splat_ingraph(), 2)
+    except Exception as e:
+        extra["splat_ms_ingraph"] = f"failed: {e}"
     try:
         view_s, scene_s, n_views = bench_view_and_scene()
         extra["view_seconds"] = round(view_s, 2)

@@ -73,8 +73,13 @@ def _val_batches(data_dir: str, n_items: int, batch: int) -> List[Dict]:
     ]
 
 
-def paired_eval(ps, variables, gen, batches: List[Dict]) -> Dict[str, float]:
-    """gen_paired_img vs the no-outpaint baseline on held-out pairs."""
+def paired_eval(ps, variables, gen, batches: List[Dict],
+                evidence_dir: str = None) -> Dict[str, float]:
+    """gen_paired_img vs the no-outpaint baseline on held-out pairs.
+
+    When evidence_dir is given, also saves paired_strip.png: one row per
+    item of [input | no-outpaint baseline | outpainted | GT] for the first
+    batch, so the outpaint-vs-baseline claim is visually checkable."""
     import jax.numpy as jnp
 
     from pixelsynth_tpu.pipeline import CloudState
@@ -83,6 +88,7 @@ def paired_eval(ps, variables, gen, batches: List[Dict]) -> Dict[str, float]:
 
     psnrs, psnrs_bg, base, base_bg = [], [], [], []
     ssims, base_ssims = [], []
+    strip_rows = []
     rng = jax.random.PRNGKey(123)
     for b in batches:
         cams = {k: jnp.asarray(b[k]) for k in
@@ -111,6 +117,16 @@ def paired_eval(ps, variables, gen, batches: List[Dict]) -> Dict[str, float]:
             if bg[i].mean() > 0.02:
                 psnrs_bg.append(_psnr01_masked(pred01[i], gt01[i], bg[i]))
                 base_bg.append(_psnr01_masked(nop01[i], gt01[i], bg[i]))
+        if evidence_dir is not None and not strip_rows:
+            in01 = _to01(b["input_img"])
+            for i in range(min(B, 4)):
+                strip_rows.append(np.concatenate(
+                    [in01[i], nop01[i], pred01[i], gt01[i]], axis=1))
+    if evidence_dir is not None and strip_rows:
+        from pixelsynth_tpu.eval.harness import save_png
+
+        save_png(os.path.join(evidence_dir, "paired_strip.png"),
+                 np.concatenate(strip_rows, axis=0))
     return {
         "paired_psnr": float(np.mean(psnrs)),
         "paired_psnr_bg": float(np.mean(psnrs_bg)) if psnrs_bg else None,
@@ -194,7 +210,7 @@ def scene_walk_metrics(cfg: Config, workdir: str, scene_dir: str,
         return np.asarray(Image.open(p), np.float32)[..., :3] / 255.0
 
     adj, gt_psnrs = [], []
-    strip = []
+    strip, strip_gt = [], []
     for direction in cfg.sample.directions:
         if direction in ("S", "C"):
             continue
@@ -214,12 +230,17 @@ def scene_walk_metrics(cfg: Config, workdir: str, scene_dir: str,
                 adj.append(m["PSNR_vis"])
             if direction in ("R", "L") and i % 2 == 0:
                 strip.append((img * 255).astype(np.uint8))
+                strip_gt.append((_to01(gt) * 255).astype(np.uint8))
             prev, prev_P = img, P_i
     if strip:
         from pixelsynth_tpu.eval.harness import save_png
 
+        # top row: demo-CLI predictions; bottom row: GT renders of the
+        # same held-out world at the same cameras (VERDICT r3 #7)
         save_png(os.path.join(evidence_dir, "scene_strip.png"),
-                 np.concatenate(strip, axis=1) / 255.0)
+                 np.concatenate([np.concatenate(strip, axis=1),
+                                 np.concatenate(strip_gt, axis=1)],
+                                axis=0) / 255.0)
     return {
         "scene_adjacent_consistency_psnr": float(np.mean(adj)) if adj else None,
         "scene_gt_psnr": float(np.mean(gt_psnrs)) if gt_psnrs else None,
@@ -256,7 +277,8 @@ def build_report(cfg: Config, workdir: str, evidence_dir: str, *,
     batches = _val_batches(os.path.join(workdir, "shards"),
                            n_items=8 if smoke else 48, batch=4 if smoke else 8)
     t0 = time.time()
-    report.update(paired_eval(ps, variables, gen, batches))
+    report.update(paired_eval(ps, variables, gen, batches,
+                              evidence_dir=evidence_dir))
     report["paired_eval_seconds"] = time.time() - t0
 
     t0 = time.time()

@@ -65,12 +65,13 @@ class ResNetEncoder(nn.Module):
     downsample: bool = True
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
+    def __call__(self, x, *, train: bool = True, noise_scale: float = 1.0):
         arch = get_resnet_arch(self.model_type, self.ngf)
         chans = arch["layers_enc"]
         for l_id in range(1, len(chans)):
             resample = "Down" if (self.downsample and arch["downsample"][l_id - 1]) else None
-            x = ResNetBlock(chans[l_id], resample, self.spectral)(x, train=train)
+            x = ResNetBlock(chans[l_id], resample, self.spectral)(
+                x, train=train, noise_scale=noise_scale)
         return x
 
 
@@ -86,7 +87,8 @@ class ResNetDecoder(nn.Module):
     use_tanh: bool = True
 
     @nn.compact
-    def __call__(self, x, background_mask=None, *, train: bool = True):
+    def __call__(self, x, background_mask=None, *, train: bool = True,
+                 noise_scale: float = 1.0):
         arch = get_resnet_arch(self.model_type, self.ngf)
         chans = list(arch["layers_dec"])
 
@@ -98,7 +100,7 @@ class ResNetDecoder(nn.Module):
 
         for l_id in range(1, len(chans)):
             h = ResNetBlock(chans[l_id], arch["upsample"][l_id - 1], self.spectral)(
-                h, train=train
+                h, train=train, noise_scale=noise_scale
             )
 
         norm = jnp.tanh if self.use_tanh else (lambda v: v)

@@ -203,11 +203,21 @@ class NoiseBN(nn.Module):
     spectral: bool = True
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True, noise=None):
-        if noise is None:
+    def __call__(self, x, *, train: bool = True, noise=None,
+                 noise_scale: float = 1.0):
+        zero_noise = (noise is None and isinstance(noise_scale, (int, float))
+                      and noise_scale == 0.0)
+        if noise is None and zero_noise:
+            # deterministic eval: gain=1, bias=0 without consuming an rng
+            # (the reference draws fresh noise at EVERY forward,
+            # normalization.py:21-47, so its eval PSNR is noise-capped)
+            noise = jnp.zeros((x.shape[0], self.noise_sz), x.dtype)
+        elif noise is None:
             noise = jax.random.normal(
                 self.make_rng("noise"), (x.shape[0], self.noise_sz), x.dtype
             )
+            if not (isinstance(noise_scale, (int, float)) and noise_scale == 1.0):
+                noise = noise * noise_scale
         wg = self.param(
             "gain_kernel", nn.initializers.lecun_normal(), (self.noise_sz, self.features)
         )
@@ -239,7 +249,7 @@ class ResNetBlock(nn.Module):
     spectral: bool = True
 
     @nn.compact
-    def __call__(self, x, *, train: bool = True):
+    def __call__(self, x, *, train: bool = True, noise_scale: float = 1.0):
         in_c = x.shape[-1]
 
         def resample(h):
@@ -249,10 +259,12 @@ class ResNetBlock(nn.Module):
                 return upsample2x(h)
             return h
 
-        h = NoiseBN(in_c, spectral=self.spectral)(x, train=train)
+        h = NoiseBN(in_c, spectral=self.spectral)(x, train=train,
+                                                  noise_scale=noise_scale)
         h = nn.relu(h)
         h = SNConv(self.features, 3, 1, 1, spectral=self.spectral)(h, train=train)
-        h = NoiseBN(self.features, spectral=self.spectral)(h, train=train)
+        h = NoiseBN(self.features, spectral=self.spectral)(h, train=train,
+                                                           noise_scale=noise_scale)
         h = nn.relu(h)
         h = SNConv(self.features, 3, 1, 1, spectral=self.spectral)(h, train=train)
         h = resample(h)

@@ -289,12 +289,14 @@ class PixelSynth:
             depth = jax.nn.sigmoid(raw) * (mc.max_z - mc.min_z) + mc.min_z
         return depth, upd
 
-    def features(self, variables, img, *, train=False, rngs=None):
+    def features(self, variables, img, *, train=False, rngs=None,
+                 noise_scale: float = 1.0):
         if self.encoder is None:
             return img, None
         mutable = ["batch_stats", "spectral_stats"] if train else False
         out = self.encoder.apply(
-            variables["encoder"], img, train=train, rngs=rngs, mutable=mutable
+            variables["encoder"], img, train=train, rngs=rngs, mutable=mutable,
+            noise_scale=noise_scale,
         )
         return out if train else (out, None)
 
@@ -444,10 +446,12 @@ class PixelSynth:
 
         return fn
 
-    def decode_image(self, proj_vars, combined, bg_mask, *, train=False, rngs=None):
+    def decode_image(self, proj_vars, combined, bg_mask, *, train=False,
+                     rngs=None, noise_scale: float = 1.0):
         mutable = ["batch_stats", "spectral_stats"] if train else False
         out = self.projector.apply(
-            proj_vars, combined, bg_mask, train=train, rngs=rngs, mutable=mutable
+            proj_vars, combined, bg_mask, train=train, rngs=rngs,
+            mutable=mutable, noise_scale=noise_scale,
         )
         return out if train else (out, None)
 
@@ -467,8 +471,13 @@ class PixelSynth:
         *,
         train_ar: bool = True,
         train: bool = True,
+        noise_scale: float = 1.0,
     ):
         """Stage-2 training forward (z_buffermodel.py:291-419, train mode).
+
+        noise_scale=0.0 gives a deterministic eval (NoiseBN gain=1/bias=0):
+        the reference draws fresh BN-conditioning noise at every forward
+        (normalization.py:21-47), which caps eval PSNR against a fixed GT.
 
         gen_vars: trainable trees {"unet", "projector", "pixelcnn"[, "encoder"]}.
         frozen_vars: {"vqvae", "vgg"} (the reference freezes the VQ-VAE at
@@ -490,10 +499,12 @@ class PixelSynth:
                 gen_vars["unet"], img, train=train, rngs=rngs
             )
         all_vars = dict(gen_vars)
-        fs, enc_upd = self.features(all_vars, img, train=train, rngs=rngs)
+        fs, enc_upd = self.features(all_vars, img, train=train, rngs=rngs,
+                                    noise_scale=noise_scale)
         gen_fs, bg, _ = self.splat_view(fs, depth, cams)
         if self.modifier is not None and "modifier" in gen_vars:
             mutable = ["batch_stats", "spectral_stats"] if train else False
+            # (the modifier U-Net has no noise-conditioned layers)
             mod_out = self.modifier.apply(
                 gen_vars["modifier"], gen_fs, train=train, rngs=rngs,
                 mutable=mutable,
@@ -525,7 +536,8 @@ class PixelSynth:
         )
         combined = self.combine(gen_fs, input_gt, bg)
         gen_img, proj_upd = self.decode_image(
-            gen_vars["projector"], combined, bg, train=train, rngs=rngs
+            gen_vars["projector"], combined, bg, train=train, rngs=rngs,
+            noise_scale=noise_scale,
         )
         updates["projector"] = proj_upd
 
@@ -580,18 +592,20 @@ class PixelSynth:
             return gen_imgs, depth
         return gen_imgs
 
-    def render_no_outpaint(self, variables, img, cams, *, rngs=None):
+    def render_no_outpaint(self, variables, img, cams, *, rngs=None,
+                           noise_scale: float = 1.0):
         """The minimum end-to-end slice (no_outpainting path,
         z_buffermodel.py:382-383): depth -> project -> splat -> decode."""
         depth, _ = self.regress_depth(variables["unet"], img)
-        fs, _ = self.features(variables, img)
+        fs, _ = self.features(variables, img, noise_scale=noise_scale)
         gen_fs, bg, _ = self.splat_view(fs, depth, cams)
         # the outpainting decoder is constructed with the foreground-channel
         # input (utilities.py:30-34), so the mask is always passed; a
         # dedicated no_outpainting config drops it at construction time
         mask_arg = None if self.cfg.model.no_outpainting else bg
         gen_img, _ = self.decode_image(
-            variables["projector"], gen_fs, mask_arg, rngs=rngs
+            variables["projector"], gen_fs, mask_arg, rngs=rngs,
+            noise_scale=noise_scale,
         )
         return {"PredImg": gen_img, "PredDepth": depth, "Background": bg,
                 "FeaturesImg": gen_fs}

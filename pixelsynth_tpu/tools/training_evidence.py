@@ -200,6 +200,10 @@ def evidence_dpr(out_dir: str, *, W: int = 64, steps: int = 4000,
     state, tx_g, tx_d = create_dpr_state(ps, variables)
     step_fn = make_dpr_train_step(ps, tx_g, tx_d)
     eval_fn = make_dpr_eval_step(ps)
+    # deterministic eval: zero BN-conditioning noise (the per-forward
+    # redraw is what capped the r2/r3 overfit plateau — see
+    # diagnose_dpr_noise and evidence/dpr_noise_diag.json)
+    eval_fn_det = make_dpr_eval_step(ps, noise_scale=0.0)
 
     rng = np.random.default_rng(seed)
     fixed = [synthetic_pair_batch(rng, B, W) for _ in range(n_items // B)]
@@ -219,12 +223,18 @@ def evidence_dpr(out_dir: str, *, W: int = 64, steps: int = 4000,
             # reference channel-summed [-1,1] convention AND standard
             # [0,1] PSNR (~10.8 dB apart) so the curve is legible
             psnr_std = float(np.mean([float(e["psnr_std"]) for e in evals]))
-            best = max(best, psnr)
-            write(it, psnr=psnr, psnr_std=psnr_std,
+            # deterministic (zero-noise) eval in the same two conventions
+            evals_det = [eval_fn_det(state, b, sub) for b in fixed]
+            psnr_det = float(np.mean([float(e["psnr"]) for e in evals_det]))
+            psnr_std_det = float(np.mean([float(e["psnr_std"])
+                                          for e in evals_det]))
+            best = max(best, psnr_det)
+            write(it, psnr=psnr, psnr_std=psnr_std, psnr_det=psnr_det,
+                  psnr_std_det=psnr_std_det,
                   total_loss=float(m["Total Loss"]),
                   l1=float(m.get("L1", 0.0)))
     f.close()
-    print(f"dpr: best train-set PSNR {best:.2f} "
+    print(f"dpr: best train-set deterministic-eval PSNR {best:.2f} "
           f"({steps} steps, {time.time()-t0:.0f}s)")
     diag = diagnose_dpr_noise(ps, state, fixed, key)
     with open(os.path.join(out_dir, "dpr_noise_diag.json"), "w") as jf:
@@ -258,7 +268,15 @@ def diagnose_dpr_noise(ps, state, fixed, key, n_draws: int = 8) -> Dict:
         )
         return outputs["PredImg"]
 
-    per_draw, avg_imgs, gts = [], [], []
+    @jax.jit
+    def pred_det(batch, rng):
+        _, (_, outputs, _) = ps.train_forward(
+            state.gen_vars, state.frozen_vars, batch, {"noise": rng},
+            train_ar=False, train=False, noise_scale=0.0,
+        )
+        return outputs["PredImg"]
+
+    per_draw, avg_imgs, det_imgs, gts = [], [], [], []
     for b in fixed:
         preds = np.stack([
             np.asarray(pred(b, jax.random.fold_in(key, i)))
@@ -267,16 +285,22 @@ def diagnose_dpr_noise(ps, state, fixed, key, n_draws: int = 8) -> Dict:
         gt = np.asarray(b["output_img"])
         per_draw.append([psnr01(preds[i], gt) for i in range(n_draws)])
         avg_imgs.append(preds.mean(0))
+        det_imgs.append(np.asarray(pred_det(b, key)))
         gts.append(gt)
     per_draw = np.asarray(per_draw)  # (n_batches, n_draws)
     psnr_avg_pred = float(np.mean([
         psnr01(a, g) for a, g in zip(avg_imgs, gts)
     ]))
+    psnr_det = float(np.mean([
+        psnr01(d, g) for d, g in zip(det_imgs, gts)
+    ]))
     return {
         "psnr_std_per_draw_mean": float(per_draw.mean()),
         "psnr_std_per_draw_spread": float(per_draw.std(axis=1).mean()),
         "psnr_std_noise_averaged": psnr_avg_pred,
+        "psnr_std_zero_noise": psnr_det,
         "noise_cost_db": psnr_avg_pred - float(per_draw.mean()),
+        "zero_noise_gain_db": psnr_det - float(per_draw.mean()),
         "n_draws": n_draws,
     }
 

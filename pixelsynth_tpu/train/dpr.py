@@ -192,16 +192,21 @@ def make_dpr_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_dpr_eval_step(ps: PixelSynth, *, train_ar: bool = True) -> Callable:
+def make_dpr_eval_step(ps: PixelSynth, *, train_ar: bool = True,
+                       noise_scale: float = 1.0) -> Callable:
     """Validation forward (train_dpr.py:164-218 val path): same losses
     (incl. PSNR used for best-checkpoint selection), no parameter or
-    statistics updates."""
+    statistics updates.
+
+    noise_scale=0.0 evaluates deterministically (NoiseBN gain=1/bias=0);
+    the reference redraws BN-conditioning noise at every eval forward
+    (normalization.py:21-47), which caps PSNR against a fixed target."""
 
     def step(state: DPRTrainState, batch: Dict, rng: jax.Array):
         rngs = {"noise": rng}
         _, (losses, outputs, _) = ps.train_forward(
             state.gen_vars, state.frozen_vars, batch, rngs,
-            train_ar=train_ar, train=False,
+            train_ar=train_ar, train=False, noise_scale=noise_scale,
         )
         return losses
 

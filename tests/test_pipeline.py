@@ -136,3 +136,32 @@ def test_inverse_depth_parameterization():
     d = np.asarray(depth)
     assert d.min() >= 1.0 / 10.01 - 1e-5
     assert d.max() <= 1.0 / 0.01 + 1e-3
+
+
+def test_zero_noise_eval_is_deterministic(ps_and_vars):
+    """noise_scale=0.0 removes the per-forward NoiseBN redraw
+    (normalization.py:21-47): different noise rngs give identical
+    predictions, and no 'noise' rng is required at all."""
+    ps, vs = ps_and_vars
+    batch = make_batch(1, ps.W)
+    cams = {k: batch[k] for k in ("K", "Kinv", "P_in", "Pinv_in", "P_out")}
+    img = batch["input_img"]
+
+    a = ps.render_no_outpaint(vs, img, cams,
+                              rngs={"noise": jax.random.PRNGKey(2)},
+                              noise_scale=0.0)["PredImg"]
+    b = ps.render_no_outpaint(vs, img, cams,
+                              rngs={"noise": jax.random.PRNGKey(99)},
+                              noise_scale=0.0)["PredImg"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the zero-noise path consumes no rng stream
+    c = ps.render_no_outpaint(vs, img, cams, noise_scale=0.0)["PredImg"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    # sanity: with the default per-forward redraw the outputs DO differ
+    d = ps.render_no_outpaint(vs, img, cams,
+                              rngs={"noise": jax.random.PRNGKey(2)})["PredImg"]
+    e = ps.render_no_outpaint(vs, img, cams,
+                              rngs={"noise": jax.random.PRNGKey(99)})["PredImg"]
+    assert float(jnp.abs(d - e).max()) > 0

@@ -45,6 +45,11 @@ class SplatConfig:
     # (ops/sort_pallas, bit-identical output; falls back to xla when the
     # padded per-image entry count exceeds 2^20)
     sort_backend: str = "xla"
+    # blend math dtype for the per-tile weight x feature contraction and
+    # the feature gathers feeding it ("float32" | "bfloat16"): bf16 halves
+    # the blend's HBM traffic; alpha/z math always stays f32 and the dot
+    # accumulates in f32 (see evidence/splat_blend_r4.json for timing)
+    blend_dtype: str = "float32"
 
 
 @dataclass

@@ -436,7 +436,10 @@ def _blend_tiles(
         else:
             raise ValueError(f"unknown accumulation {cfg.accumulation}")
 
-        out = jnp.dot(w, feats, preferred_element_type=jnp.float32)
+        # weights cast to the feature dtype (bf16 under blend_dtype);
+        # the contraction always accumulates in f32 on the MXU
+        out = jnp.dot(w.astype(feats.dtype), feats,
+                      preferred_element_type=jnp.float32)
         covered = jnp.any(cover, axis=1)
         return out.reshape(TS, TS, -1), covered.reshape(TS, TS)
 
@@ -447,12 +450,12 @@ def _blend_tiles(
     jax.jit, static_argnames=("W", "radius", "pp_pixel", "tau", "rad_pow",
                               "accumulation", "bg_ksize", "tile_size",
                               "max_points_per_tile", "tile_group", "binning",
-                              "sort_backend")
+                              "sort_backend", "blend_dtype")
 )
 def _splat_impl(
     points, feats, valid, *, W, radius, pp_pixel, tau, rad_pow, accumulation,
     bg_ksize, tile_size, max_points_per_tile, tile_group, binning="argsort",
-    sort_backend="xla",
+    sort_backend="xla", blend_dtype="float32",
 ):
     cfg = SplatConfig(
         radius=radius, pp_pixel=pp_pixel, tau=tau, rad_pow=rad_pow,
@@ -460,6 +463,7 @@ def _splat_impl(
         background_smoothing_kernel_size=bg_ksize,
         tile_size=tile_size, max_points_per_tile=max_points_per_tile,
         tile_group=tile_group, binning=binning, sort_backend=sort_backend,
+        blend_dtype=blend_dtype,
     )
     TS = cfg.tile_size
     nside = W // TS
@@ -473,6 +477,8 @@ def _splat_impl(
     slot_idx_all, slot_valid_all = _bin_dispatch(points, valid, W, cfg)
 
     def per_image(pts, fts, slot_idx, slot_valid):
+        # bf16 blend: cast once so the per-tile gathers move half the bytes
+        fts = fts.astype(jnp.dtype(cfg.blend_dtype))
         G = cfg.tile_group
         n_groups = (nT + G - 1) // G
         pad_t = n_groups * G - nT
@@ -537,7 +543,7 @@ def splat(
         tile_size=cfg.tile_size,
         max_points_per_tile=cfg.max_points_per_tile,
         tile_group=cfg.tile_group, binning=cfg.binning,
-        sort_backend=cfg.sort_backend,
+        sort_backend=cfg.sort_backend, blend_dtype=cfg.blend_dtype,
     )
 
 

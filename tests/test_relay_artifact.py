@@ -205,3 +205,20 @@ def test_scene_view_consistency(stitched, report):
     # report value (sampling noise + fewer candidates here)
     assert np.mean(vals) > report["consistency_psnr_vis"] - 4.0
     assert np.mean(vals) > 14.0  # absolute floor: random weights score ~10
+
+
+def test_evidence_strips_present(report):
+    """The committed evidence includes legible side-by-side strips
+    (VERDICT r3 #7): scene_strip.png stacks demo-CLI predictions over GT
+    renders (2 rows), paired_strip.png rows are
+    [input | baseline | outpainted | GT] (4 columns)."""
+    from PIL import Image
+
+    d = os.path.dirname(REPORT)
+    W = report["config_W"]
+    scene = Image.open(os.path.join(d, "scene_strip.png"))
+    assert scene.size[1] == 2 * W  # prediction row + GT row
+    assert scene.size[0] >= 2 * W  # at least two views
+    paired = Image.open(os.path.join(d, "paired_strip.png"))
+    assert paired.size[0] == 4 * W  # input | baseline | outpainted | GT
+    assert paired.size[1] % W == 0 and paired.size[1] >= W

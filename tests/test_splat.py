@@ -140,3 +140,21 @@ def test_dilate_mask():
     m = jnp.zeros((1, 9, 9), bool).at[0, 4, 4].set(True)
     d = dilate_mask(m, 3)
     assert bool(d[0, 3, 3]) and bool(d[0, 5, 5]) and not bool(d[0, 2, 2])
+
+
+def test_bf16_blend_close_to_f32():
+    """blend_dtype='bfloat16' halves the blend's gather/dot HBM traffic;
+    the contraction still accumulates in f32 so the image stays within
+    bf16 input-rounding error of the f32 path, and the background mask
+    (alpha/z math, always f32) is bit-identical."""
+    rng = np.random.default_rng(3)
+    W, B, N, C = 32, 2, 500, 8
+    pts, feats = random_points(rng, B, N, W, C)
+    out32, bg32 = splat(pts, feats, W=W, cfg=make_cfg())
+    outbf, bgbf = splat(pts, feats, W=W,
+                        cfg=make_cfg(blend_dtype="bfloat16"))
+    assert outbf.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(bg32), np.asarray(bgbf))
+    err = np.abs(np.asarray(out32) - np.asarray(outbf))
+    scale = np.abs(np.asarray(out32)).max()
+    assert err.max() <= 0.02 * max(scale, 1.0), err.max()

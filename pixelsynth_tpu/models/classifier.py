@@ -24,6 +24,12 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def classifier_entropy(logits: jnp.ndarray) -> jnp.ndarray:
+    """Entropy of classifier softmax per candidate (z_buffermodel.py:259-261)."""
+    p = jax.nn.softmax(logits, axis=-1)
+    return -jnp.sum(p * jnp.log(jnp.maximum(p, 1e-12)), axis=-1)
+
+
 def preprocess_for_classifier(img01: jnp.ndarray) -> jnp.ndarray:
     """[0,1] image (B, H, W, 3) -> 224x224 ImageNet-normalized
     (the reference's torchvision transform, z_buffermodel.py:105-110)."""

@@ -309,7 +309,6 @@ def d_fake_score(disc_apply, gen_img: jnp.ndarray, ref_img: jnp.ndarray) -> jnp.
     return jnp.mean(jnp.stack(per), axis=0)
 
 
-def classifier_entropy(logits: jnp.ndarray) -> jnp.ndarray:
-    """Entropy of classifier softmax per candidate (z_buffermodel.py:259-261)."""
-    p = jax.nn.softmax(logits, axis=-1)
-    return -jnp.sum(p * jnp.log(jnp.maximum(p, 1e-12)), axis=-1)
+# canonical home is the classifier module; re-exported here because the
+# ranking math (rank_candidates / rank_candidates_jax below) consumes it
+from pixelsynth_tpu.models.classifier import classifier_entropy  # noqa: E402

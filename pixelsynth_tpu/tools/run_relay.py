@@ -463,6 +463,19 @@ def settings(smoke: bool, width: int, evidence_dir: str,
             smoke=False, vq_gate_mse=0.02, vq_attempts=2,
             classifier_steps=400, classifier_gate_acc=0.6,
         )
+    if profile == "session":
+        # full-profile DATA (the 8192-pair pool is the generalization
+        # lever against the r3 train-1.99/val-2.70 bpd gap) with epoch
+        # counts trimmed to fit one ~2 h session end to end; every gate
+        # (vq convergence, classifier accuracy, report protocol) is
+        # identical to the full profile
+        return dict(
+            n_train=8192, n_val=256, shard_size=512, max_rotation=40.0,
+            iters_per_epoch=250, val_iters=16, vq_batch=32, vq_epochs=16,
+            dpr_batch=4, dpr_pre_epochs=10, dpr_epochs=16, lm_batch=32,
+            lm_epochs=20, n_orders=2048, evidence_dir=evidence_dir,
+            smoke=False, vq_gate_mse=0.02, vq_attempts=3,
+        )
     return dict(
         # r4: n_train 4096 -> 8192 and n_orders 2048 -> 4096 attack the
         # stage-3 generalization gap VERDICT r3 measured (train bpd 1.99
@@ -566,7 +579,8 @@ def main(argv=None):
     ap.add_argument("--force-from", default=None, choices=STAGES)
     ap.add_argument("--only", default=None,
                     help="comma-separated stage subset")
-    ap.add_argument("--profile", default="full", choices=["full", "fast"])
+    ap.add_argument("--profile", default="full",
+                    choices=["full", "session", "fast"])
     args = ap.parse_args(argv)
     run_relay(args.workdir, args.evidence, width=args.width, smoke=args.smoke,
               force_from=args.force_from,

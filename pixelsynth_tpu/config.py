@@ -195,6 +195,15 @@ class SampleConfig:
     # while sampling from the identical joint distribution; 0 = off
     # (strictly one cell per forward, the reference's schedule)
     speculative: int = 3
+    # ---- scene-walk stability (SceneGenerator docstring; measured on
+    # hardware in evidence/scene_drift_r5.json).  Reference-faithful
+    # settings are noise_mode="per_view", carry="decoder",
+    # anchor_input=False (z_buffermodel.py:516,584 + fresh BN noise per
+    # forward) -- they compound drift until a 40-view walk loses all
+    # structure, so the product defaults diverge deliberately. ----
+    noise_mode: str = "per_view"
+    carry: str = "decoder"
+    anchor_input: bool = False
 
 
 @dataclass

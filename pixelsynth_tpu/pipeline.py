@@ -320,15 +320,32 @@ class PixelSynth:
     def splat_cumulative(self, fs, depth, cams, state: CloudState,
                          last_bg: Optional[jnp.ndarray], RTinv_last):
         """Cumulative-scene splat (z_buffer_manipulator.py:184-266): carry
-        prior cloud into the new camera, splat prior+current together, and
-        append only the *previously outpainted* (last-background) points of
-        the current view to the carried cloud."""
+        prior cloud into the new camera, and splat it together with ONLY the
+        *previously outpainted* (last-background) points of the current view
+        -- the reference filters both the rendered points and the appended
+        cloud by last_background_mask (z_buffer_manipulator.py:190-207:
+        ``pred_pts = pred_pts[last_background_mask==True]`` before
+        project_pts_cumulative, whose xy_proj concat is both the sampler and
+        the returned new_point_cloud).
+
+        That filter is load-bearing for walk stability: the carried image is
+        a decoder output whose re-encoded features and re-regressed depth
+        are degraded copies of content the cloud already holds at its
+        original quality; splatting the full current view makes those
+        duplicates z-fight the trusted points and every rendered view decays
+        toward reconstruction mush (measured: scene_gt_psnr stuck at ~10.4
+        at every walk depth, evidence/scene_drift_r5.json pre-fix)."""
         B = fs.shape[0]
         cur_cloud = lift_to_cloud(
             depth, cams["K"], cams["Kinv"], cams["Pinv_in"], cams["P_out"], self.W
         )
         cur_pts, cur_valid = homogeneous_to_pixels(cur_cloud, self.W)
         cur_feats = fs.reshape(B, -1, fs.shape[-1])
+        # only the carried image's newly-generated region contributes points
+        # (to the render AND the cloud); everything else renders from the
+        # carried cloud's original features
+        if last_bg is not None:
+            cur_valid = cur_valid & last_bg.reshape(B, -1)
 
         # prior cloud re-expressed in the current output frame
         state_t = state.transform(cams["K"], cams["P_out"], RTinv_last)
@@ -342,13 +359,9 @@ class PixelSynth:
         valid = jnp.concatenate([cur_valid, prior_valid], axis=1)
         gen_fs, bg = splat(pts, feats, valid, W=self.W, cfg=self.cfg.model.splat)
 
-        # grow the cloud with the current view's last-background points
-        if last_bg is None:
-            add_valid = cur_valid
-        else:
-            add_valid = cur_valid & last_bg.reshape(B, -1)
+        # grow the cloud with the same filtered points
         new_state = state_t.append_compact(
-            jnp.swapaxes(cur_cloud, 1, 2), cur_feats, add_valid
+            jnp.swapaxes(cur_cloud, 1, 2), cur_feats, cur_valid
         )
         return gen_fs, bg, new_state
 

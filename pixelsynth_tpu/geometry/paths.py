@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from pixelsynth_tpu.geometry.cameras import euler_to_rotation_matrix, invert_RT
+from pixelsynth_tpu.geometry.cameras import euler_to_rotation_matrix
 
 # Full-angle rotation vectors; mirrors models/z_buffermodel.py:114-115.
 ROTVECS = {
@@ -74,7 +74,17 @@ def get_rt_from_rot(
 
     def fin(out_RT):
         out_RT = out_RT if squeeze else jnp.broadcast_to(out_RT, input_RT.shape)
-        return invert_RT(out_RT), out_RT
+        # EXACT inverse, matching the reference's torch.inverse
+        # (z_buffermodel.py:215,224,241).  NOT invert_RT: demo/habitat
+        # extrinsics carry the habitat OFFSET@K fold (demo.py:36-39), so
+        # out_RT[:3,:3] = R_euler @ diag(2,-2,-1) is NOT orthonormal and the
+        # transpose shortcut returns an inverse wrong by diag(4,4,1).  In a
+        # cumulative scene walk that error compounds per view hop: every
+        # carried-cloud reprojection zoomed x4 in x/y, collapsing the cloud
+        # to an ever-sparser dot grid (measured 16384 -> 1024 -> 64 -> 4
+        # on-screen points after 1/2/3 hops -- the round-5 scene-walk-drift
+        # root cause, evidence/scene_drift_r5.json).
+        return jnp.linalg.inv(out_RT), out_RT
 
     RT0 = input_RT if squeeze else input_RT[0]
 

@@ -134,3 +134,22 @@ def test_get_rt_from_rot_paths():
     # num=0 for R/L gives identity rotation
     RTinv, RT = get_rt_from_rot("R", I, 0, 32)
     np.testing.assert_allclose(RT[0], np.eye(4), atol=1e-6)
+
+
+def test_get_rt_from_rot_exact_inverse_merged_K():
+    """The returned inverse must be EXACT for non-orthonormal extrinsics.
+
+    Demo/habitat cameras fold OFFSET @ K into P (demo.py:36-39), so
+    P[:3,:3] = diag(2,-2,-1) is not a rotation.  The reference inverts with
+    torch.inverse (z_buffermodel.py:215,224,241); the orthonormal-transpose
+    shortcut is wrong by diag(4,4,1) here, and in a cumulative walk that
+    error compounds per hop -- the round-5 scene-drift root cause (the
+    carried cloud collapsed 16384 -> 1024 -> 64 -> 4 on-screen points)."""
+    from pixelsynth_tpu.data.demo_data import demo_cameras
+
+    P = jnp.asarray(demo_cameras(1.0)["P"])  # (1, 4, 4), det 4
+    for direction in ["R", "L", "U", "S", "C"]:
+        RTinv, RT = get_rt_from_rot(direction, P, 3, 8)
+        np.testing.assert_allclose(
+            np.asarray(RT @ RTinv), np.broadcast_to(np.eye(4), (1, 4, 4)),
+            atol=1e-5)

@@ -210,6 +210,8 @@ def scene_walk_metrics(cfg: Config, workdir: str, scene_dir: str,
         return np.asarray(Image.open(p), np.float32)[..., :3] / 255.0
 
     adj, gt_psnrs = [], []
+    by_num: Dict[int, List[float]] = {}
+    by_dir: Dict[str, List[float]] = {}
     strip, strip_gt = [], []
     for direction in cfg.sample.directions:
         if direction in ("S", "C"):
@@ -224,7 +226,13 @@ def scene_walk_metrics(cfg: Config, workdir: str, scene_dir: str,
             _, P_i = get_rt_from_rot(direction, P_in, i, n)
             P_i = np.asarray(P_i)
             gt, _ = render_view(world, P_i, W)
-            gt_psnrs.append(_psnr01(img, _to01(gt)))
+            v = _psnr01(img, _to01(gt))
+            gt_psnrs.append(v)
+            # walk-depth attribution (VERDICT r4 #2): numerator buckets show
+            # extrapolation cost; direction buckets show cross-direction
+            # drift (the walk visits directions in cfg.sample order)
+            by_num.setdefault(i, []).append(v)
+            by_dir.setdefault(direction, []).append(v)
             if prev is not None:
                 m = consistency_exact(prev, img, prev_P, P_i)
                 adj.append(m["PSNR_vis"])
@@ -244,6 +252,10 @@ def scene_walk_metrics(cfg: Config, workdir: str, scene_dir: str,
     return {
         "scene_adjacent_consistency_psnr": float(np.mean(adj)) if adj else None,
         "scene_gt_psnr": float(np.mean(gt_psnrs)) if gt_psnrs else None,
+        "scene_gt_psnr_by_numerator": {
+            str(k): float(np.mean(v)) for k, v in sorted(by_num.items())},
+        "scene_gt_psnr_by_direction": {
+            k: float(np.mean(v)) for k, v in by_dir.items()},
         "n_scene_views_scored": len(gt_psnrs),
     }
 

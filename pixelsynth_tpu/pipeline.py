@@ -81,8 +81,15 @@ class CloudState:
 
     def transform(self, K, RT_cam2, RTinv_cam3) -> "CloudState":
         """Re-express the cloud in a new camera frame:
-        pts' = K @ RT2 @ RTinv3 @ Kinv-free pts (matches
-        z_buffer_manipulator.py:244-247, K folded per reference)."""
+        pts' = K @ RT2 @ RTinv3 @ pts (matches
+        z_buffer_manipulator.py:244-247, K folded per reference).
+
+        NOTE: exact only for model-facing K == identity -- which every
+        dataset in this framework guarantees (demo/habitat/RealEstate all
+        fold OFFSET @ K into P; data/realestate10k.py:33-41,
+        data/demo_data.py).  For a non-identity K this would need a
+        trailing @ Kinv, a quirk inherited from the reference's
+        project_pts_cumulative."""
         M = _to44(K) @ (_to44(RT_cam2) @ _to44(RTinv_cam3))
         pts = jnp.einsum("bij,bnj->bni", M, self.pts)
         return CloudState(pts, self.feats, self.valid)

@@ -67,8 +67,8 @@ def walk_and_score(gen, world: Dict, W: int, *, num_split: int,
     from pixelsynth_tpu.geometry.paths import get_rt_from_rot
 
     cams = demo_cameras(1.0)
-    gt_in, _ = render_view(world, cams["P"][0], W)
-    img = jnp.asarray(gt_in * 2.0 - 1.0)[None]
+    gt_in, _ = render_view(world, cams["P"][0], W)   # already [-1, 1]
+    img = jnp.asarray(gt_in)[None]
 
     t0 = time.time()
     outputs = gen.generate_scene(
@@ -110,7 +110,7 @@ def walk_and_score(gen, world: Dict, W: int, *, num_split: int,
                 if dump_dir is not None:
                     from PIL import Image
                     os.makedirs(dump_dir, exist_ok=True)
-                    row = [np.clip(gt, 0, 1), pred01]
+                    row = [_to01(gt), pred01]
                     if fkey in outputs:
                         fs01 = _to01(outputs[fkey][0][..., :3])
                         row.append(fs01)

@@ -144,6 +144,13 @@ def main(argv=None):
     ap.add_argument("--temperature", type=float, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--fps", type=int, default=10)
+    # walk-stability knobs (SceneGenerator docstring; measured in
+    # evidence/scene_drift_r5_postfix.json).  Default: checkpoint config
+    # (product: fixed/composite).  --noise-mode per_view --carry decoder
+    # reproduces the reference's walk semantics exactly.
+    ap.add_argument("--noise-mode", default=None,
+                    choices=["per_view", "fixed", "zero"])
+    ap.add_argument("--carry", default=None, choices=["decoder", "composite"])
     ap.add_argument("--weights-dir", default=None,
                     help="dir with converted eval-net npz weights "
                          "(vgg19_features.npz, resnet18_places365.npz)")
@@ -171,6 +178,7 @@ def main(argv=None):
         ps, variables,
         num_samples=args.num_samples, temperature=args.temperature,
         classifier_vars=classifier_vars,
+        noise_mode=args.noise_mode, carry=args.carry,
     )
     rng = jax.random.PRNGKey(args.seed)
 

@@ -81,10 +81,11 @@ class SceneGenerator:
                        every DISPLAYED view exactly once.
         anchor_input: when the walk renders at the exact input pose
           (numerator 0 of the 8 rotation directions -- rotvec*0 == P_in),
-          reset the carried image to the true input: the ground-truth
-          observation at that camera IS the input image, so each new
-          direction restarts from truth instead of inheriting the previous
-          direction's accumulated drift."""
+          reset the carried image to the true input.  Measured NEGATIVE on
+          hardware (evidence/scene_drift_r5_postfix.json full_zero: adj
+          37.0 -> 33.3): with the cloud rendering fixed, the carry only
+          contributes its outpainted sliver, so anchoring just discards
+          that sliver's continuity.  Kept off by default."""
         from pixelsynth_tpu.utils.devices import put_variables
 
         self.ps = ps
@@ -371,6 +372,11 @@ class SceneGenerator:
                 last_numerator = numerator
                 last_direction = direction
                 first_view = False
+
+        # end-of-walk cloud occupancy: how full the fixed-capacity buffer
+        # got (sizing signal for cloud_capacity -- the splat's sort cost is
+        # linear in capacity, not occupancy)
+        outputs["CloudValidCount"] = cloud.valid.sum(axis=1)
 
         # one transfer at the end: every view above was dispatched
         # asynchronously (nothing in the loop forces a readback), so the

@@ -138,6 +138,8 @@ def walk_and_score(gen, world: Dict, W: int, *, num_split: int,
             by_dir.setdefault(r["direction"], []).append(r["gt_psnr"])
     first_dir = directions[0]
     return {
+        "cloud_valid_count": (int(outputs["CloudValidCount"][0])
+                              if "CloudValidCount" in outputs else None),
         "scene_gt_psnr": float(np.mean(gt_vals)) if gt_vals else None,
         "scene_adjacent_consistency_psnr": (
             float(np.mean(adj_vals)) if adj_vals else None),

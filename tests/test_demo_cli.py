@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from pixelsynth_tpu.config import Config
 
 
-def _tiny_cfg(W=64):
+def _tiny_cfg(W=32):
     from tests.test_train_loops import tiny_cfg
 
     cfg = tiny_cfg(W=W)
@@ -43,14 +43,14 @@ def test_demo_cli_gen_img(tmp_path):
     _save_tiny_ckpt(str(tmp_path), cfg)
     img_path = os.path.join(str(tmp_path), "in.png")
     rng = np.random.RandomState(0)
-    Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(img_path)
+    Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(img_path)
     out_dir = os.path.join(str(tmp_path), "out")
 
     main(["--img", img_path, "--mode", "gen_img", "--ckpt-dir", str(tmp_path),
           "--result-folder", out_dir, "--direction", "R"])
 
     out = np.asarray(Image.open(os.path.join(out_dir, "output_image_R_0.png")))
-    assert out.shape == (64, 64, 3)
+    assert out.shape == (32, 32, 3)
     assert np.isfinite(out.astype(np.float64)).all()
     assert os.path.exists(os.path.join(out_dir, "input_fs_image_R_0.png"))
 

@@ -193,6 +193,26 @@ def test_scene_view_consistency(stitched, report):
     assert np.mean(vals) > 14.0  # absolute floor: random weights score ~10
 
 
+def test_scene_walk_quality_gate(report):
+    """The flagship cumulative scene walk preserves structure (VERDICT r4
+    missing #2): the committed report's demo-CLI walk on the held-out
+    world must clear the round-5 capability bar -- scene_gt_psnr >= 14
+    (random weights score ~10; r4's broken walk scored 9.61) and
+    adjacent-view consistency >= 30.  The per-numerator breakdown must
+    show the extrapolation cost model: views at the input pose (numerator
+    1) score at least as well as the full-rotation extrapolation, not the
+    flat mush profile of a broken cloud carry."""
+    if "scene_gt_psnr_by_numerator" not in report:
+        pytest.skip("report predates the r5 per-depth scene metrics")
+    assert report["scene_gt_psnr"] >= 14.0
+    assert report["scene_adjacent_consistency_psnr"] >= 30.0
+    by_num = report["scene_gt_psnr_by_numerator"]
+    nums = sorted(int(k) for k in by_num)
+    assert by_num[str(nums[0])] >= by_num[str(nums[-1])] - 1.0, (
+        "near-input views should not score materially worse than the "
+        f"full-rotation extrapolation: {by_num}")
+
+
 def test_evidence_strips_present(report):
     """The committed evidence includes legible side-by-side strips
     (VERDICT r3 #7): scene_strip.png stacks demo-CLI predictions over GT

@@ -42,6 +42,24 @@ class CheckpointManager:
             enable_async_checkpointing=False,
         )
         self.mgr = ocp.CheckpointManager(directory, options=options)
+        # Crash/preemption robustness: with best_fn set, orbax retains the
+        # top-k by metric and DELETES newer non-best steps, so a resume
+        # after a crash restarts from the last *best* epoch and silently
+        # loses every epoch since (observed: a TPU worker crash at epoch
+        # 19 resumed from 11).  A sibling single-slot manager always keeps
+        # the newest step; writers save to it only when best-tracking is
+        # on, readers consult it whenever it exists.
+        self._writes_latest = best_metric is not None
+        latest_dir = os.path.join(directory, "latest")
+        self._latest = (
+            ocp.CheckpointManager(
+                latest_dir,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=1, enable_async_checkpointing=False),
+            )
+            if (self._writes_latest or os.path.isdir(latest_dir))
+            else None
+        )
 
     def save(self, step: int, state: Any, config: Optional[Config] = None,
              metrics: Optional[Dict[str, float]] = None):
@@ -54,21 +72,36 @@ class CheckpointManager:
             metrics=metrics or None,
         )
         self.mgr.wait_until_finished()
+        if self._writes_latest and self._latest is not None:
+            self._latest.save(
+                step,
+                args=ocp.args.Composite(state=ocp.args.StandardSave(state)),
+            )
+            self._latest.wait_until_finished()
         if config is not None:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 f.write(config.to_json())
 
     def latest_step(self) -> Optional[int]:
-        return self.mgr.latest_step()
+        steps = [s for s in (self.mgr.latest_step(),
+                             self._latest.latest_step() if self._latest
+                             else None) if s is not None]
+        return max(steps) if steps else None
 
     def best_step(self) -> Optional[int]:
         return self.mgr.best_step()
 
     def restore(self, template: Any, step: Optional[int] = None) -> Any:
-        step = step if step is not None else self.mgr.latest_step()
+        step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        restored = self.mgr.restore(
+        mgr = self.mgr
+        if step not in self.mgr.all_steps():
+            if self._latest is None or step not in self._latest.all_steps():
+                raise FileNotFoundError(
+                    f"step {step} not in {self.directory} (or its latest/)")
+            mgr = self._latest
+        restored = mgr.restore(
             step,
             args=ocp.args.Composite(
                 state=ocp.args.StandardRestore(template),
@@ -85,6 +118,8 @@ class CheckpointManager:
 
     def close(self):
         self.mgr.close()
+        if self._latest is not None:
+            self._latest.close()
 
 
 def save_variables(path: str, variables: Dict):

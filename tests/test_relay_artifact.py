@@ -190,7 +190,10 @@ def test_scene_view_consistency(stitched, report):
     # (b) overlapping predictions agree within a margin of the committed
     # report value (sampling noise + fewer candidates here)
     assert np.mean(vals) > report["consistency_psnr_vis"] - 4.0
-    assert np.mean(vals) > 14.0  # absolute floor: random weights score ~10
+    # absolute floor raised 14 -> 16 after the r5 full-profile run
+    # (report consistency_psnr_vis 29.4; the r4 value of 15.1 was capped
+    # by the merged-K inverse bug -- random weights score ~10)
+    assert np.mean(vals) > 16.0
 
 
 def test_scene_walk_quality_gate(report):

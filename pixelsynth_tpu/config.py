@@ -30,10 +30,18 @@ class SplatConfig:
     accumulation: str = "alphacomposite"  # wsum | wsumnorm | alphacomposite
     background_smoothing_kernel_size: int = 13
     learn_default_feature: bool = True
-    # TPU implementation knobs (no reference equivalent):
+    # TPU implementation knobs (no reference equivalent).  tile defaults
+    # re-tuned on hardware in r5 (evidence/splat_tune_r5.json): M 2048 ->
+    # 1024 and tile_group 32 -> 16 cut the in-graph splat 54.3 -> 25.6 ms
+    # at the bench protocol (B=2 x 131072 pts, W=256) with BIT-IDENTICAL
+    # output (candidates are z-sorted front-to-back, so per-tile capacity
+    # truncation drops only fully-occluded points; the correctness guard
+    # in tools/tune_splat.py checks max|delta| per configuration).  Raise
+    # max_points_per_tile for pathological clouds that bury >1024
+    # candidates in one 16 px tile.
     tile_size: int = 16              # image tile edge for binned rasterization
-    max_points_per_tile: int = 2048  # static candidate-list capacity per tile
-    tile_group: int = 32             # tiles processed per lax.map step
+    max_points_per_tile: int = 1024  # static candidate-list capacity per tile
+    tile_group: int = 16             # tiles processed per lax.map step
     use_pallas: bool = False         # use the Pallas kernel fast path
     # candidate binning: "argsort" = one whole-batch fused-key sort (fastest;
     # keeps the M closest-in-z per tile on overflow; 16-bit z buckets);
@@ -240,6 +248,22 @@ class Config:
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "Config":
         return _from_dict(cls, d)
+
+    def refresh_splat_perf_knobs(self) -> "Config":
+        """Reset the splatter's implementation-only knobs to the CURRENT
+        defaults, in place (returns self for chaining).
+
+        Checkpoint configs are the source of truth for model semantics,
+        but tile_size/max_points_per_tile/tile_group are hardware tiling
+        choices with (measured) bit-identical output -- an artifact saved
+        before a re-tune should not pin the old schedule forever.  Called
+        by demo.load_model when restoring an artifact; knobs that DO
+        change semantics (radius, pp_pixel, tau, accumulation, ...) are
+        untouched."""
+        fresh = SplatConfig()
+        for f in ("tile_size", "max_points_per_tile", "tile_group"):
+            setattr(self.model.splat, f, getattr(fresh, f))
+        return self
 
     @classmethod
     def from_json(cls, s: str) -> "Config":

@@ -80,6 +80,7 @@ def load_model(ckpt_dir: Optional[str], cfg: Optional[Config] = None):
         from pixelsynth_tpu.tools.stitch_checkpoint import load_stitched_npz
 
         cfg, stitched, _ = load_stitched_npz(ckpt_dir)
+        cfg.refresh_splat_perf_knobs()
         ps = PixelSynth(cfg)
         # a complete artifact carries every runtime tree -- skip the
         # full random init (~2 min on CPU) that it would overwrite anyway
@@ -93,6 +94,7 @@ def load_model(ckpt_dir: Optional[str], cfg: Optional[Config] = None):
     if ckpt_dir is not None:
         mgr = CheckpointManager(os.path.join(ckpt_dir, "dpr"))
         cfg = mgr.load_config() or cfg or Config()
+        cfg.refresh_splat_perf_knobs()
         ps = PixelSynth(cfg)
         variables = ps.init_variables(jax.random.PRNGKey(0))
         state, _, _ = create_dpr_state(ps, variables)

@@ -306,6 +306,10 @@ class SceneGenerator:
         directions = list(directions or sc.directions)
         base_split = num_split if num_split is not None else sc.num_split
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # pose-path math is host-side numpy (geometry/paths.py): one
+        # readback here instead of one per get_rt_from_rot call
+        P_in = np.asarray(P_in)
+        Pinv_in = np.asarray(Pinv_in)
 
         B = img.shape[0]
         feat_dim = img.shape[-1]
@@ -388,14 +392,13 @@ def batch_rt_from_rot(directions: List[str], input_RT, num, denom):
     """Per-item camera paths: stack get_rt_from_rot over a batch whose
     direction differs per item (the consistency eval's per-index fixed
     directions, eval_consistency.py:101-149)."""
-    import jax.numpy as jnp
-
+    input_RT = np.asarray(input_RT)
     invs, rts = [], []
     for b, d in enumerate(directions):
         inv, rt = get_rt_from_rot(d, input_RT[b], num, denom)
         invs.append(inv)
         rts.append(rt)
-    return jnp.stack(invs), jnp.stack(rts)
+    return np.stack(invs), np.stack(rts)
 
 
 class TwoImageGenerator(SceneGenerator):
@@ -413,6 +416,7 @@ class TwoImageGenerator(SceneGenerator):
         ps = self.ps
         B = img.shape[0]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        P_in, Pinv_in = np.asarray(P_in), np.asarray(Pinv_in)
         cloud = CloudState.empty(B, self.cloud_capacity, img.shape[-1])
 
         outputs = {}

@@ -13,6 +13,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# The suite is XLA:CPU compile-dominated (the big view-step graphs take
+# minutes each); a persistent compile cache makes warm re-runs of the
+# suite dramatically cheaper.  Cold (clean-checkout) runs are unchanged.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import pytest
 

@@ -47,10 +47,34 @@ def test_dpr_overfits_fixed_set():
     best = max(r["psnr"] for r in rows)
     first = rows[0]["psnr"]
     # the joint G+D step drives train-set PSNR steadily up from its
-    # negative random-init value (committed run: -1.4 -> +9.5 over 16k
+    # negative random-init value (r5 committed run: -1.6 -> +8.6 over 8k
     # steps, still climbing -- the reference's own protocol is 125k steps)
     assert best > first + 8
     assert best > 7  # absolute floor on the committed run
     # reconstruction keeps improving through the end of the run
     assert rows[-1]["l1"] < 0.5 * rows[0]["l1"]
     assert rows[-1]["total_loss"] < rows[0]["total_loss"]
+
+
+def test_dpr_plateau_is_convention_not_optimization():
+    """Round-2 asked 'train PSNR >= 14 or a diagnosis-with-fix' of the
+    apparent ~9 dB overfit plateau.  The r5 re-run (deterministic-eval
+    columns) answers it: in the standard [0,1] PSNR convention the same
+    run reaches ~19.9 dB deterministic -- the 'plateau' was ~10.7 dB of
+    the reference's channel-summed [-1,1] accounting, and the measured
+    per-forward BN-noise cost is only ~0.5 dB
+    (evidence/dpr_noise_diag.json)."""
+    rows = _load("dpr.jsonl")
+    if "psnr_std_det" not in rows[-1]:
+        pytest.skip("evidence predates the deterministic-eval columns")
+    best_std_det = max(r["psnr_std_det"] for r in rows)
+    assert best_std_det > 16.0  # committed run: 19.87
+    import json as _json
+    path = os.path.join(EV, "dpr_noise_diag.json")
+    assert os.path.exists(path)
+    with open(path) as f:
+        diag = _json.load(f)
+    # the noise modulation costs little; the convention gap is the story
+    assert diag["noise_cost_db"] < 2.0
+    conv_gap = best_std_det - max(r["psnr_det"] for r in rows)
+    assert conv_gap > 8.0

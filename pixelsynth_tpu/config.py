@@ -201,8 +201,11 @@ class SampleConfig:
     # exact speculative multi-cell AR decoding (sampling.py:
     # ar_sample_speculative): commit 1..spec+1 cells per PixelCNN forward
     # while sampling from the identical joint distribution; 0 = off
-    # (strictly one cell per forward, the reference's schedule)
-    speculative: int = 3
+    # (strictly one cell per forward, the reference's schedule).
+    # Depth re-pinned on hardware in r5 (evidence/spec_sweep_r5.json):
+    # 12 commits ~8.1 cells/forward, 0.52 ms/cell vs 1.10 at the old 3;
+    # deeper is a plateau (16/20/24 within noise).
+    speculative: int = 12
     # ---- scene-walk stability (SceneGenerator docstring; measured on
     # hardware in evidence/scene_drift_r5_postfix.json).  Reference-faithful
     # settings are noise_mode="per_view", carry="decoder" (z_buffermodel.py
@@ -250,19 +253,22 @@ class Config:
         return _from_dict(cls, d)
 
     def refresh_splat_perf_knobs(self) -> "Config":
-        """Reset the splatter's implementation-only knobs to the CURRENT
+        """Reset distribution-preserving performance knobs to the CURRENT
         defaults, in place (returns self for chaining).
 
         Checkpoint configs are the source of truth for model semantics,
-        but tile_size/max_points_per_tile/tile_group are hardware tiling
-        choices with (measured) bit-identical output -- an artifact saved
-        before a re-tune should not pin the old schedule forever.  Called
-        by demo.load_model when restoring an artifact; knobs that DO
-        change semantics (radius, pp_pixel, tau, accumulation, ...) are
-        untouched."""
+        but splat tile_size/max_points_per_tile/tile_group (measured
+        bit-identical output) and sample.speculative (the speculative
+        sampler draws from the identical joint distribution at every
+        depth, tests/test_sampling.py) are hardware schedule choices --
+        an artifact saved before a re-tune should not pin the old
+        schedule forever.  Called by demo.load_model when restoring an
+        artifact; knobs that DO change semantics (radius, pp_pixel, tau,
+        accumulation, temperature, num_samples, ...) are untouched."""
         fresh = SplatConfig()
         for f in ("tile_size", "max_points_per_tile", "tile_group"):
             setattr(self.model.splat, f, getattr(fresh, f))
+        self.sample.speculative = SampleConfig().speculative
         return self
 
     @classmethod

@@ -151,7 +151,8 @@ def test_speculative_matches_sequential_at_low_temperature(setup):
     seq = np.asarray(ar_sample(logits_fn, codes, jnp.asarray(order),
                                jnp.asarray(bg), jax.random.PRNGKey(0),
                                num_classes=NC, temperature=1e-4))
-    for spec in (1, 3):
+    # 12 is the r5 product default (evidence/spec_sweep_r5.json)
+    for spec in (1, 3, 12):
         spc = np.asarray(ar_sample_speculative(
             logits_fn, codes, jnp.asarray(order), jnp.asarray(bg),
             jax.random.PRNGKey(4), num_classes=NC, temperature=1e-4,
